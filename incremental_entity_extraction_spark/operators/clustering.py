@@ -1,0 +1,239 @@
+"""M8/M11 — NIL clustering + cluster summarization.
+
+Reference: the greedyclustering service builds the full dot-product matrix
+over a batch's NIL mentions and runs a sequential last-writer-wins label
+loop with threshold 80.98... (pipeline/greedyclustering/__main__.py:30-34,
+52-59); clusters are summarized with modal title + medoid center
+(__main__.py:63-78).
+
+Spark design (SURVEY.md §7.4): two interchangeable engines —
+
+* ``cc``  (default, the scale path): build the ``score > threshold`` edge
+  graph via broadcast-matrix scoring (each partition scores its rows against
+  the broadcast NIL matrix — an embarrassingly parallel n×n block sweep),
+  then run iterative min-label propagation (connected components) with
+  ``localCheckpoint`` every iteration to cut lineage (SURVEY.md §4).
+  Deterministic: the component label is the lexicographically smallest
+  member mention_id.
+
+* ``greedy_replay`` (strict-parity mode): ``applyInPandas`` per batch
+  replaying the reference's exact sequential loop in canonical
+  (conv_id, turn_idx, start_tok) order.  Bit-identical to the oracle; only
+  usable while a batch's NIL set fits one task (the reference has the same
+  single-node constraint).
+
+At 10^12-turn scale the NIL set per batch is bounded by the NIL rate (~10%)
+of a batch slice; the cc engine's edge sweep shards the matrix over mention
+partitions, and giant components are bounded by the threshold (hot keys are
+handled upstream by the salted conv_id repartition in the pipeline driver).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incremental_entity_extraction_spark.config import PipelineConfig
+from incremental_entity_extraction_spark.functions.cluster_math import (
+    greedy_cluster_labels,
+    medoid_index,
+    modal_value,
+)
+
+_LABEL_SCHEMA = T.StructType(
+    [
+        T.StructField("mention_id", T.StringType(), False),
+        T.StructField("cluster_label", T.StringType(), False),
+    ]
+)
+
+CLUSTER_SCHEMA = T.StructType(
+    [
+        T.StructField("cluster_label", T.StringType(), False),
+        T.StructField("batch_id", T.IntegerType(), False),
+        T.StructField("title", T.StringType(), False),
+        T.StructField("nelements", T.IntegerType(), False),
+        T.StructField("mentions_id", T.ArrayType(T.StringType()), False),
+        T.StructField("mentions", T.ArrayType(T.StringType()), False),
+        T.StructField("center", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# engine 1: connected components on the threshold graph
+# --------------------------------------------------------------------------
+def nil_edges(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Edge list (src, dst) where dot(enc_src, enc_dst) > threshold, src≠dst,
+    within the same batch_id.
+
+    The full matrix is broadcast once; each partition scores only its own
+    rows against it (block-row sweep — no shuffle).  For NIL sets too large
+    to broadcast, pre-block with LSH buckets before calling this.
+    """
+    spark = nil_df.sparkSession
+    pdf = nil_df.select("batch_id", "mention_id", "encoding").toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            [], "batch_id int, src string, dst string"
+        )
+    mat = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["encoding"]])
+    ids = pdf["mention_id"].to_numpy()
+    batches = pdf["batch_id"].to_numpy()
+    bc = spark.sparkContext.broadcast((mat, ids, batches))
+    th = float(cfg.greedy_threshold)
+
+    schema = T.StructType(
+        [
+            T.StructField("batch_id", T.IntegerType(), False),
+            T.StructField("src", T.StringType(), False),
+            T.StructField("dst", T.StringType(), False),
+        ]
+    )
+
+    def _edges(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_mat, all_ids, all_b = bc.value
+        for pdf_part in it:
+            if len(pdf_part) == 0:
+                continue
+            enc = np.stack(
+                [np.asarray(e, dtype=np.float32) for e in pdf_part["encoding"]]
+            )
+            scores = enc @ all_mat.T
+            src_ids = pdf_part["mention_id"].to_numpy()
+            src_b = pdf_part["batch_id"].to_numpy()
+            rows, cols = np.where(scores > th)
+            keep = (all_b[cols] == src_b[rows]) & (all_ids[cols] != src_ids[rows])
+            rows, cols = rows[keep], cols[keep]
+            yield pd.DataFrame(
+                {
+                    "batch_id": src_b[rows].astype("int32"),
+                    "src": src_ids[rows],
+                    "dst": all_ids[cols],
+                }
+            )
+
+    return nil_df.select("batch_id", "mention_id", "encoding").mapInPandas(
+        _edges, schema=schema
+    )
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Min-label propagation CC. vertices: (mention_id); edges: (src, dst),
+    assumed symmetric-able (we union both directions).  Returns
+    (mention_id, cluster_label) where label = min member mention_id.
+
+    Iterations are join+groupBy (2 shuffles each); ``localCheckpoint``
+    truncates lineage so 50 iterations don't blow up the plan (SURVEY.md §4).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = vertices.select(
+        F.col("mention_id"), F.col("mention_id").alias("cluster_label")
+    ).localCheckpoint()
+    sym = sym.localCheckpoint()
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.src == labels.mention_id, "inner")
+            .select(F.col("dst").alias("mention_id"), "cluster_label")
+            .union(labels)
+            .groupBy("mention_id")
+            .agg(F.min("cluster_label").alias("cluster_label"))
+        )
+        new_labels = msgs.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "mention_id")
+            .filter(F.col("n.cluster_label") != F.col("o.cluster_label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_cc(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """CC engine: (mention_id, cluster_label) for all NIL mentions."""
+    edges = nil_edges(nil_df, cfg)
+    return connected_components(nil_df.select("mention_id"), edges)
+
+
+# --------------------------------------------------------------------------
+# engine 2: strict greedy replay (reference-exact)
+# --------------------------------------------------------------------------
+def cluster_greedy_replay(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """applyInPandas per batch: replay the reference's sequential loop in
+    canonical order; label = mention_id of the cluster's label row."""
+    th = float(cfg.greedy_threshold)
+
+    def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "turn_idx", "start_tok"]).reset_index(
+            drop=True
+        )
+        enc = (
+            np.stack([np.asarray(e, dtype=np.float32) for e in pdf["encoding"]])
+            if len(pdf)
+            else np.zeros((0, 1), np.float32)
+        )
+        labels = greedy_cluster_labels(enc, th)
+        return pd.DataFrame(
+            {
+                "mention_id": pdf["mention_id"],
+                "cluster_label": pdf["mention_id"].iloc[labels].to_numpy(),
+            }
+        )
+
+    return nil_df.select(
+        "batch_id", "conv_id", "turn_idx", "start_tok", "mention_id", "encoding"
+    ).groupBy("batch_id").applyInPandas(_replay, schema=_LABEL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# summarization (A2/A3/A10)
+# --------------------------------------------------------------------------
+def summarize_clusters_df(
+    nil_df: DataFrame, labels: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Per-cluster summary row: modal title, size, member lists, medoid center.
+
+    groupBy(cluster_label) + applyInPandas — the medoid needs the member
+    encodings in one place; cluster sizes are bounded by the threshold graph
+    so a cluster fits a task (the reference even force-breaks clusters with
+    >25 unique mentions, threestepclustering/__main__.py:174-189).
+    """
+    joined = nil_df.select(
+        "mention_id", "conv_id", "turn_idx", "start_tok", "batch_id",
+        "mention", "encoding",
+    ).join(labels, "mention_id")
+
+    def _summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "turn_idx", "start_tok"]).reset_index(
+            drop=True
+        )
+        enc = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["encoding"]])
+        med = medoid_index(enc)
+        return pd.DataFrame(
+            {
+                "cluster_label": [pdf["cluster_label"].iloc[0]],
+                "batch_id": [int(pdf["batch_id"].iloc[0])],
+                "title": [modal_value(list(pdf["mention"]))],
+                "nelements": [len(pdf)],
+                "mentions_id": [list(pdf["mention_id"])],
+                "mentions": [list(pdf["mention"])],
+                "center": [enc[med].tolist()],
+            }
+        )
+
+    return joined.groupBy("cluster_label").applyInPandas(
+        _summarize, schema=CLUSTER_SCHEMA
+    )

@@ -1,0 +1,51 @@
+"""M12/M13 — KB augmentation: contiguous id assignment for new entities.
+
+Reference: cluster centers are appended to the RW FAISS index with ids
+``ntotal-n .. ntotal`` and COPY'd into Postgres
+(pipeline/indexer/main.py:178-214; scripts/eval_kbp.py:626-652).
+
+Deterministic id assignment (SURVEY.md §4 #3): ``row_number()`` over the
+canonical cluster ordering (nelements desc, title asc, first-member asc)
+offset by the previous RW max — never ``monotonically_increasing_id``
+(non-deterministic under task retry).  The global window is safe: the row
+set is one batch's *clusters* (small by construction), not its mentions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from incremental_entity_extraction_spark.config import PipelineConfig
+
+
+def assign_new_entity_ids(
+    clusters: DataFrame, start_id: int, cfg: PipelineConfig
+) -> DataFrame:
+    """Adds (index_id, index_indexer) to cluster rows; ids contiguous from
+    ``start_id`` in canonical order."""
+    w = Window.orderBy(
+        F.desc("nelements"),
+        F.asc("title"),
+        F.asc(F.element_at("mentions_id", 1)),
+    )
+    return clusters.withColumn(
+        "index_id", F.row_number().over(w) - 1 + F.lit(start_id)
+    ).withColumn("index_indexer", F.lit(cfg.rw_indexer_id))
+
+
+def new_entity_rows(clusters_with_ids: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Cluster summaries -> rows for the ``new_entities`` lake table
+    (schema matches the entities dimension: id, indexer, wikipedia_id,
+    title, descr, type_, embedding; wikipedia_id = -1 for discovered
+    entities, pipeline/indexer/main.py:207)."""
+    return clusters_with_ids.select(
+        F.col("index_id").cast("long").alias("id"),
+        F.col("index_indexer").cast("int").alias("indexer"),
+        F.lit(-1).cast("long").alias("wikipedia_id"),
+        F.substring("title", 1, cfg.max_title_len).alias("title"),
+        F.lit("").alias("descr"),
+        F.lit(None).cast("string").alias("type_"),
+        F.col("center").alias("embedding"),
+        F.col("batch_id"),
+    )

@@ -1,0 +1,63 @@
+"""M6/M7/F14 — NIL feature build + closed-form logistic NIL prediction.
+
+Reference: feature builder (scripts/eval_kbp.py:242-328) + a
+StandardScaler/LogisticRegression HTTP service
+(pipeline/nilpredictor/__main__.py:42-103); deployed features are
+``(max_bi, secondiff)`` with threshold 0.5 (docker-compose.yml:54,
+eval_kbp.py:489-491).
+
+Ours: pure JVM-side column expressions — the logistic model collapses to a
+closed-form sigmoid over standardized features (SURVEY.md F14), so the whole
+stage stays inside whole-stage codegen; no UDF, no shuffle.  Rows with zero
+candidates are NIL by construction (eval_kbp.py:306-310).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incremental_entity_extraction_spark.config import PipelineConfig
+
+
+def nil_score_expr(max_bi, secondiff, cfg: PipelineConfig):
+    """Closed-form P(not-NIL) = sigmoid(b + Σ wᵢ·(xᵢ-μᵢ)/σᵢ)."""
+    z1 = (max_bi - F.lit(cfg.nil_mu_max_bi)) / F.lit(cfg.nil_sigma_max_bi)
+    z2 = (secondiff - F.lit(cfg.nil_mu_secondiff)) / F.lit(cfg.nil_sigma_secondiff)
+    x = (
+        F.lit(cfg.nil_bias)
+        + F.lit(cfg.nil_w_max_bi) * z1
+        + F.lit(cfg.nil_w_secondiff) * z2
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
+
+
+def predict_nil(candidates_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Adds max_bi, secondiff, nil_score, is_nil and top_* columns."""
+    has = F.size("candidates") > 0
+    top = F.element_at("candidates", 1)
+    second_score = F.when(
+        F.size("candidates") > 1, F.element_at("candidates", 2)["score"]
+    ).otherwise(F.lit(0.0))
+    df = (
+        candidates_df.withColumn("max_bi", F.when(has, top["score"]))
+        .withColumn(
+            "secondiff", F.when(has, F.col("max_bi") - second_score)
+        )
+        .withColumn(
+            "nil_score",
+            F.when(has, nil_score_expr(F.col("max_bi"), F.col("secondiff"), cfg))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "is_nil",
+            F.when(~has, F.lit(True)).otherwise(
+                F.col("nil_score") < F.lit(cfg.nil_threshold)
+            ),
+        )
+        .withColumn("top_id", F.when(has, top["id"]))
+        .withColumn("top_indexer", F.when(has, top["indexer"]))
+        .withColumn("top_wikipedia_id", F.when(has, top["wikipedia_id"]))
+        .withColumn("top_title", F.when(has, top["title"]))
+    )
+    return df

@@ -1,0 +1,215 @@
+"""W1/J5 — exact dense top-k retrieval against a broadcast entity index.
+
+Reference: FAISS ``IndexFlatIP.search`` over one RO + one RW index with
+Postgres metadata hydration (pipeline/biencoder/blink/indexer/
+faiss_indexer.py:65-67; pipeline/indexer/main.py:81-169).
+
+Spark design (SURVEY.md §4): the entity matrix is broadcast as one or more
+NumPy shards; each mention partition computes ``scores = enc @ shard.Tᵀ``
+(chunked so the score block stays bounded), takes per-shard top-k with
+``argpartition``, merges across shards, and hydrates metadata from the same
+broadcast — zero shuffles end-to-end.  The reference's 5.9M × 1024 float32
+index is ~24 GB: at cluster scale it ships as ~8-16 shards (a few GB each)
+and the per-shard top-k results merge in the same pass; mention partitions
+scale out freely, so the scan parallelism is (mention partitions × 1) with
+no exchange.
+
+Candidate ordering is deterministic: score desc, then (indexer, id) asc —
+matching the oracle and the reference's score-desc sort across indexes
+(pipeline/indexer/main.py:167-169).
+
+Hydration parity note: the reference's per-request ``SELECT ... WHERE id IN``
+(S4) is a broadcast-hash join in relational terms; here metadata rides the
+same broadcast as the vectors, so hydration is a local array gather.  A
+standalone join-based hydrator is in ``hydrate_candidates`` for the general
+case where metadata is too wide to broadcast with the vectors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incremental_entity_extraction_spark.config import PipelineConfig
+
+CANDIDATE_STRUCT = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("indexer", T.IntegerType(), False),
+        T.StructField("wikipedia_id", T.LongType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("score", T.FloatType(), False),
+        T.StructField("norm_score", T.FloatType(), False),
+    ]
+)
+
+_SCORE_CHUNK_ROWS = 1024  # mention rows scored per matmul block
+
+
+class KBShard:
+    """Driver-side container for one broadcastable entity-index shard."""
+
+    __slots__ = ("E", "ids", "indexer", "wikipedia_id", "title")
+
+    def __init__(self, pdf: pd.DataFrame):
+        self.E = np.stack(
+            [np.asarray(e, dtype=np.float32) for e in pdf["embedding"]]
+        ) if len(pdf) else np.zeros((0, 1), dtype=np.float32)
+        self.ids = pdf["id"].to_numpy(dtype=np.int64)
+        self.indexer = pdf["indexer"].to_numpy(dtype=np.int32)
+        self.wikipedia_id = pdf["wikipedia_id"].fillna(-1).to_numpy(dtype=np.int64)
+        self.title = pdf["title"].astype(str).to_numpy()
+
+
+def build_kb_shards(kb_df: DataFrame, n_shards: int = 1) -> list[KBShard]:
+    """Collect the KB dimension table into ``n_shards`` driver-side shards.
+
+    Deterministic shard assignment: ``id % n_shards`` within each indexer.
+    (At 100 TB scale this is the one deliberate collect: the KB is a
+    dimension table — 5.9M rows in the reference — that must be broadcast
+    for the scan-side matmul; shard count bounds per-executor memory.)
+    """
+    pdf = kb_df.select(
+        "id", "indexer", "wikipedia_id", "title", "embedding"
+    ).toPandas()
+    pdf = pdf.sort_values(["indexer", "id"]).reset_index(drop=True)
+    if len(pdf) == 0:
+        return []
+    return [
+        KBShard(pdf[(pdf["id"] % n_shards) == s].reset_index(drop=True))
+        for s in range(n_shards)
+    ]
+
+
+def retrieve_topk(
+    mentions: DataFrame,
+    cfg: PipelineConfig,
+    shards: list[KBShard],
+) -> DataFrame:
+    """Adds ``candidates array<struct>`` (sorted, top_k) to mention rows."""
+    spark = mentions.sparkSession
+    bc = spark.sparkContext.broadcast(shards)
+    k_cfg = cfg.top_k
+    norm2 = float(cfg.vector_norm) ** 2
+    out_schema = T.StructType(
+        mentions.schema.fields
+        + [T.StructField("candidates", T.ArrayType(CANDIDATE_STRUCT), False)]
+    )
+    in_cols = [f.name for f in mentions.schema.fields]
+
+    def _topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shard_list = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            enc = np.stack(
+                [np.asarray(e, dtype=np.float32) for e in pdf["encoding"]]
+            )
+            cands_col: list[list[dict]] = []
+            for lo in range(0, n, _SCORE_CHUNK_ROWS):
+                chunk = enc[lo : lo + _SCORE_CHUNK_ROWS]
+                # per-shard top-k, then merge (two-level top-k, SURVEY.md W1)
+                parts = []
+                for shard in shard_list:
+                    if shard.E.shape[0] == 0:
+                        continue
+                    scores = chunk @ shard.E.T  # [c, n_shard]
+                    kk = min(k_cfg, scores.shape[1])
+                    idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+                    rows = np.arange(len(chunk))[:, None]
+                    parts.append(
+                        (
+                            scores[rows, idx],
+                            shard.ids[idx],
+                            shard.indexer[idx],
+                            shard.wikipedia_id[idx],
+                            shard.title[idx],
+                        )
+                    )
+                if not parts:
+                    cands_col.extend([[] for _ in range(len(chunk))])
+                    continue
+                sc = np.concatenate([p[0] for p in parts], axis=1)
+                ids = np.concatenate([p[1] for p in parts], axis=1)
+                idxr = np.concatenate([p[2] for p in parts], axis=1)
+                wids = np.concatenate([p[3] for p in parts], axis=1)
+                titles = np.concatenate([p[4] for p in parts], axis=1)
+                kk = min(k_cfg, sc.shape[1])
+                # deterministic global order: score desc, indexer asc, id asc
+                order = np.lexsort((ids, idxr, -sc), axis=1)[:, :kk]
+                rows = np.arange(len(chunk))[:, None]
+                sc, ids = sc[rows, order], ids[rows, order]
+                idxr, wids = idxr[rows, order], wids[rows, order]
+                titles = titles[rows, order]
+                for r in range(len(chunk)):
+                    cands_col.append(
+                        [
+                            {
+                                "id": int(ids[r, c]),
+                                "indexer": int(idxr[r, c]),
+                                "wikipedia_id": int(wids[r, c]),
+                                "title": str(titles[r, c]),
+                                "score": float(sc[r, c]),
+                                "norm_score": float(sc[r, c] / norm2),
+                            }
+                            for c in range(kk)
+                        ]
+                    )
+            out = pdf[in_cols].copy()
+            out["candidates"] = cands_col
+            yield out
+
+    return mentions.mapInPandas(_topk, schema=out_schema)
+
+
+def hydrate_candidates(candidates: DataFrame, entities: DataFrame) -> DataFrame:
+    """S4/J5 as a standalone relational operator: explode candidate ids,
+    broadcast-hash join entity metadata on (id, indexer), re-assemble the
+    sorted candidate array.
+
+    The reference's single ``SELECT ... WHERE id IN (...) AND indexer=%s``
+    round trip (pipeline/indexer/main.py:98-109).  Used when metadata is too
+    wide to ride the vector broadcast.
+    """
+    exploded = candidates.select(
+        "mention_id", F.posexplode("candidates").alias("pos", "cand")
+    ).select("mention_id", "pos", F.col("cand.id").alias("id"),
+             F.col("cand.indexer").alias("indexer"),
+             F.col("cand.score").alias("score"),
+             F.col("cand.norm_score").alias("norm_score"))
+    meta = F.broadcast(
+        entities.select("id", "indexer", "wikipedia_id", "title")
+    )
+    joined = exploded.join(meta, ["id", "indexer"], "left")
+    reassembled = (
+        joined.groupBy("mention_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", "id", "indexer", "wikipedia_id", "title",
+                             "score", "norm_score")
+                )
+            ).alias("sorted_cands")
+        )
+        .select(
+            "mention_id",
+            F.transform(
+                "sorted_cands",
+                lambda c: F.struct(
+                    c["id"].alias("id"),
+                    c["indexer"].alias("indexer"),
+                    c["wikipedia_id"].alias("wikipedia_id"),
+                    c["title"].alias("title"),
+                    c["score"].alias("score"),
+                    c["norm_score"].alias("norm_score"),
+                ),
+            ).alias("candidates"),
+        )
+    )
+    return reassembled

@@ -32,39 +32,19 @@ import numpy as np
 import pandas as pd
 
 from incremental_entity_extraction_spark.config import DEFAULT_CONFIG, PipelineConfig
-from incremental_entity_extraction_spark.fixtures.generator import FILLER_WORDS
+from incremental_entity_extraction_spark.functions.cluster_math import (
+    greedy_cluster_labels,
+    medoid_index,
+    modal_value,
+)
+from incremental_entity_extraction_spark.functions.detection import (
+    detect_mentions_in_tokens,
+)
 from incremental_entity_extraction_spark.functions.featurizer import (
     encode_mentions,
     encode_token_lists,
     tokenize,
 )
-
-FILLER_SET = frozenset(FILLER_WORDS)
-
-
-# --------------------------------------------------------------------------
-# stage 1: mention detection (M1)
-# --------------------------------------------------------------------------
-def detect_mentions_in_tokens(tokens: list[str], known: frozenset[str] = FILLER_SET):
-    """Yield (start_tok, n_tokens, surface) for maximal runs of out-of-
-    vocabulary tokens, split into 2-token mentions (entity titles are
-    2 tokens; a trailing odd token becomes a 1-token mention)."""
-    out = []
-    i, n = 0, len(tokens)
-    while i < n:
-        if tokens[i] in known or not tokens[i]:
-            i += 1
-            continue
-        j = i
-        while j < n and tokens[j] not in known and tokens[j]:
-            j += 1
-        k = i
-        while k < j:
-            width = 2 if k + 1 < j else 1
-            out.append((k, width, " ".join(tokens[k : k + width])))
-            k += width
-        i = j
-    return out
 
 
 def oracle_detect_mentions(transcripts: pd.DataFrame) -> pd.DataFrame:
@@ -188,49 +168,8 @@ def oracle_nil(mentions: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
-# stage 5: greedy sequential clustering (M8) — the reference's exact loop
+# stage 5/6 kernels shared with Spark: functions.cluster_math
 # --------------------------------------------------------------------------
-def greedy_cluster_labels(enc: np.ndarray, threshold: float) -> np.ndarray:
-    """Sequential last-writer-wins label propagation over the dot-product
-    matrix (semantics of pipeline/greedyclustering/__main__.py:30-34)."""
-    n = len(enc)
-    labels = np.arange(n)
-    if n == 0:
-        return labels
-    scores = enc @ enc.T
-    for i in range(n):
-        labels[scores[i] > threshold] = labels[i]
-    return labels
-
-
-# --------------------------------------------------------------------------
-# stage 6: cluster summary (M11: modal title A3, medoid A10)
-# --------------------------------------------------------------------------
-def modal_value(values: list[str]):
-    """Most frequent value; ties -> lexicographically smallest (deterministic
-    stand-in for the reference's Counter.most_common insertion order)."""
-    counts: dict = {}
-    for v in values:
-        counts[v] = counts.get(v, 0) + 1
-    best = max(counts.items(), key=lambda kv: (kv[1], _neg_lex(kv[0])))
-    return best[0]
-
-
-def _neg_lex(s):
-    """Key helper so max() prefers lexicographically smaller on count ties."""
-    return tuple(-ord(c) for c in str(s))
-
-
-def medoid_index(enc: np.ndarray) -> int:
-    """Member minimizing total Euclidean distance (KMedoids k=1 semantics,
-    TimeEvolving.py:123-131); ties -> lowest index."""
-    if len(enc) == 1:
-        return 0
-    d2 = ((enc[:, None, :] - enc[None, :, :]) ** 2).sum(-1)
-    tot = np.sqrt(np.maximum(d2, 0)).sum(1)
-    return int(np.argmin(tot))
-
-
 def summarize_clusters(nil_df: pd.DataFrame, enc: np.ndarray, labels: np.ndarray) -> pd.DataFrame:
     """One row per cluster: title (modal mention), nelements, members, medoid
     center. Cluster order: nelements desc, title asc (deterministic)."""
@@ -252,9 +191,13 @@ def summarize_clusters(nil_df: pd.DataFrame, enc: np.ndarray, labels: np.ndarray
     out = pd.DataFrame(
         rows, columns=["title", "nelements", "mentions_id", "mentions", "center"]
     )
-    return out.sort_values(
-        ["nelements", "title"], ascending=[False, True]
-    ).reset_index(drop=True)
+    # canonical cluster order (matches operators/kb.py id assignment):
+    # nelements desc, title asc, first-member mention_id asc
+    out["_first"] = [m[0] for m in out["mentions_id"]]
+    out = out.sort_values(
+        ["nelements", "title", "_first"], ascending=[False, True, True]
+    ).drop(columns="_first")
+    return out.reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------

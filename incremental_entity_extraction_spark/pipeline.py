@@ -1,0 +1,218 @@
+"""Incremental pipeline driver: lake layout, per-batch run, checkpoint/resume.
+
+Reference lifecycle (scripts/eval_kbp.py:734-805): reset RW KB, then for each
+batch file in CLI order run encode → retrieve → NIL → cluster → add-to-KB →
+save.  Cross-batch state lives in the RW FAISS index + Postgres + driver
+globals (eval_kbp.py:39-41).
+
+Here the state is lake tables, so every batch is idempotent and the run is
+resumable (north_rule):
+
+* ``new_entities``   — the RW index (id, indexer, embedding, ...), partitioned
+  by batch_id; re-broadcast at each batch boundary (SURVEY.md §1.6).
+* ``prev_clusters``  — cluster summaries per batch.
+* ``triples``        — the KG, partitioned by batch_id.
+* ``lineage``        — one row per completed batch (checkpoint marker);
+  resume = skip batch_ids present in lineage.
+* ``metrics``        — per-batch counters + timings (+ eval metrics when gold
+  labels are supplied).
+
+Writes use dynamic partition overwrite on batch_id, so re-running a batch
+after a crash replaces exactly its own partitions — ids stay deterministic
+because they are ``row_number`` over canonical order + previous max
+(operators/kb.py), not a function of task scheduling.
+
+Skew: per-batch work is repartitioned on (conv_id, turn_idx) — the turn
+index acts as the salt, so a hot conversation (Zipf head) spreads across
+partitions instead of pinning one task (SURVEY.md §4 "salted repartition").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incremental_entity_extraction_spark.config import DEFAULT_CONFIG, PipelineConfig
+from incremental_entity_extraction_spark.operators.clustering import (
+    cluster_cc,
+    cluster_greedy_replay,
+    summarize_clusters_df,
+)
+from incremental_entity_extraction_spark.operators.encode import encode_mentions_df
+from incremental_entity_extraction_spark.operators.kb import (
+    assign_new_entity_ids,
+    new_entity_rows,
+)
+from incremental_entity_extraction_spark.operators.mentions import detect_mentions
+from incremental_entity_extraction_spark.operators.nil import predict_nil
+from incremental_entity_extraction_spark.operators.retrieval import (
+    KBShard,
+    build_kb_shards,
+    retrieve_topk,
+)
+from incremental_entity_extraction_spark.operators.triples import (
+    cluster_triples,
+    mention_triples,
+)
+
+
+@dataclass
+class Lake:
+    """Parquet-directory lake (Iceberg-table stand-in; same layout maps 1:1
+    onto Iceberg partitioned tables on a real cluster)."""
+
+    root: str
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write_partition(self, df: DataFrame, table: str) -> None:
+        """Idempotent: dynamic overwrite of only the batch_id partitions in df."""
+        df.write.mode("overwrite").partitionBy("batch_id").parquet(self.path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        p = self.path(table)
+        if not os.path.exists(p):
+            return None
+        return spark.read.parquet(p)
+
+    # --- lineage (checkpoint markers), tiny JSON lines on the driver -----
+    def lineage_path(self) -> str:
+        return os.path.join(self.root, "lineage.jsonl")
+
+    def completed_batches(self) -> set[int]:
+        p = self.lineage_path()
+        if not os.path.exists(p):
+            return set()
+        with open(p) as f:
+            return {json.loads(line)["batch_id"] for line in f if line.strip()}
+
+    def mark_complete(self, batch_id: int, stats: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        with open(self.lineage_path(), "a") as f:
+            f.write(json.dumps({"batch_id": batch_id, **stats}) + "\n")
+
+
+def run_batch(
+    transcripts_batch: DataFrame,
+    ro_shards: list[KBShard],
+    rw_pdf: pd.DataFrame,
+    next_rw_id: int,
+    cfg: PipelineConfig,
+    cluster_mode: str = "cc",
+):
+    """One batch: transcripts -> (nil_scored, clusters_with_ids, new_entities,
+    triples).  Nothing is collected except the (small) cluster/new-entity
+    tables needed to thread state to the next batch."""
+    shards = list(ro_shards)
+    if len(rw_pdf):
+        shards = shards + [KBShard(rw_pdf.reset_index(drop=True))]
+
+    mentions = detect_mentions(transcripts_batch)
+    encoded = encode_mentions_df(mentions, cfg)
+    candidates = retrieve_topk(encoded, cfg, shards)
+    nil_scored = predict_nil(candidates, cfg)
+    # two materialization barriers by design (SURVEY.md §3.1): clustering is
+    # iterative, and the KB append is the batch boundary.
+    nil_scored = nil_scored.localCheckpoint()
+
+    nil_df = nil_scored.filter(F.col("is_nil")).select(
+        "mention_id", "conv_id", "turn_idx", "start_tok", "batch_id",
+        "mention", "encoding",
+    )
+    if cluster_mode == "greedy_replay":
+        labels = cluster_greedy_replay(nil_df, cfg)
+    else:
+        labels = cluster_cc(nil_df, cfg)
+    clusters = summarize_clusters_df(nil_df, labels, cfg)
+    clusters_with_ids = assign_new_entity_ids(clusters, next_rw_id, cfg)
+    new_entities = new_entity_rows(clusters_with_ids, cfg)
+
+    triples = mention_triples(nil_scored, cfg).unionByName(
+        cluster_triples(nil_scored, labels, clusters_with_ids)
+    )
+    return nil_scored, clusters_with_ids, new_entities, triples
+
+
+def run_incremental(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    kb_ro: DataFrame,
+    lake: Lake,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    cluster_mode: str = "cc",
+    n_shards: int = 1,
+    resume: bool = True,
+    partitions: int | None = None,
+) -> list[dict]:
+    """Loop over batch_id in ascending order, threading KB state through the
+    lake; resumable via the lineage table."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    done = lake.completed_batches() if resume else set()
+    ro_shards = build_kb_shards(kb_ro, n_shards)
+
+    # rebuild RW state from the lake (resume) — completed batches only
+    rw_df = lake.read(spark, "new_entities")
+    if rw_df is not None and done:
+        rw_pdf = rw_df.filter(F.col("batch_id").isin([int(b) for b in done])).drop(
+            "batch_id"
+        ).toPandas()
+    else:
+        rw_pdf = pd.DataFrame(
+            columns=["id", "indexer", "wikipedia_id", "title", "descr", "type_", "embedding"]
+        )
+    next_rw_id = int(rw_pdf["id"].max()) + 1 if len(rw_pdf) else 0
+
+    batch_ids = [
+        r["batch_id"]
+        for r in transcripts.select("batch_id").distinct().orderBy("batch_id").collect()
+    ]
+    stats_rows = []
+    for b in batch_ids:
+        if b in done:
+            continue
+        t0 = time.time()
+        tb = transcripts.filter(F.col("batch_id") == int(b)).repartition(
+            partitions, "conv_id", "turn_idx"  # turn_idx = skew salt
+        )
+        nil_scored, clusters_with_ids, new_entities, triples = run_batch(
+            tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode
+        )
+        lake.write_partition(triples, "triples")
+        lake.write_partition(new_entities, "new_entities")
+        lake.write_partition(
+            clusters_with_ids.select(
+                "cluster_label", "title", "nelements", "mentions_id", "mentions",
+                "index_id", "index_indexer", "batch_id",
+            ),
+            "prev_clusters",
+        )
+        # thread RW state forward (small dimension delta)
+        add_pdf = new_entities.drop("batch_id").toPandas()
+        if len(add_pdf):
+            rw_pdf = (
+                pd.concat([rw_pdf, add_pdf], ignore_index=True)
+                if len(rw_pdf)
+                else add_pdf
+            )
+            next_rw_id = int(rw_pdf["id"].max()) + 1
+        stats = {
+            "n_mentions": nil_scored.count(),
+            "n_nil": nil_scored.filter(F.col("is_nil")).count(),
+            "n_clusters": int(len(add_pdf)),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        lake.mark_complete(int(b), stats)
+        stats_rows.append({"batch_id": int(b), **stats})
+
+    if stats_rows:
+        metrics_df = spark.createDataFrame(pd.DataFrame(stats_rows))
+        lake.write_partition(metrics_df, "metrics")
+    return stats_rows
