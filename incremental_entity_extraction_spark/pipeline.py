@@ -185,6 +185,10 @@ def run_incremental(
         nil_scored, clusters_with_ids, new_entities, triples = run_batch(
             tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode
         )
+        # S7 analogue: persist the enriched mention table per batch
+        # (reference pickles outdata per batch, eval_kbp.py:654-658);
+        # encodings are dropped — they are recomputable and dominate bytes.
+        lake.write_partition(nil_scored.drop("encoding"), "mentions")
         lake.write_partition(triples, "triples")
         lake.write_partition(new_entities, "new_entities")
         lake.write_partition(
