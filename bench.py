@@ -1,0 +1,212 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: turns/sec of the incremental KG pipeline (mention detect →
+encode → dense top-k → NIL → cluster → KB append → triples) over transcripts
+derived from the documents table — the engine's north-star workload.  The
+``queries`` dict adds per-query wall times for the heavier relational /
+dedup / vector queries.
+
+Scaling evidence (BASELINE.md / north_rule): ``python bench.py --scaling``
+generates a large deterministic transcript world with the *distributed*
+generator (fixtures.spark_generator), then runs the identical pipeline at
+local[N] and local[4N] on the same parquet input and reports throughput at
+both plus efficiency = (T_N→T_4N speedup)/4.  BLAS threads are pinned to 1
+so parallelism comes from Spark tasks only — otherwise local[8] silently
+uses all machine cores through OpenBLAS and the comparison is fake.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+# pin BLAS before numpy/Spark start anywhere (workers inherit this env)
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# scaling-world knobs (see BENCH.md)
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "16000"))
+BENCH_HOT = int(os.environ.get("SPARK_GRAFT_BENCH_HOT", "16000"))
+BENCH_ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "50000"))
+BENCH_DIM = int(os.environ.get("SPARK_GRAFT_BENCH_DIM", "256"))
+BENCH_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "2"))
+
+BENCH_QUERIES = [
+    "q02_group_agg_stats",
+    "q03_hydration_join",
+    "q07_topk_per_key",
+    "q09_explode_wordcount",
+    "q14_recall_at_k",
+    "q16_fingerprint",
+    "q19_ngram_jaccard",
+    "q20_minhash_lsh",
+    "q22_cosine_topk",
+    "q24_emb_neardup_brute",
+]
+
+
+def run_documents_pipeline(cores: int, sf_dir: str) -> tuple[float, int, int]:
+    """Flagship run over documents-derived transcripts; returns
+    (wall_s, n_turns, n_triples)."""
+    from incremental_entity_extraction_spark.config import DEFAULT_CONFIG as CFG
+    from incremental_entity_extraction_spark.entry_queries import (
+        KG_STOPWORDS,
+        build_kg_world,
+    )
+    from incremental_entity_extraction_spark.pipeline import Lake, run_incremental
+    from incremental_entity_extraction_spark.session import get_spark
+
+    from incremental_entity_extraction_spark.session import warm_python_workers
+
+    spark = get_spark(cores=cores, app_name=f"bench-{cores}")
+    warm_python_workers(spark)
+    transcripts, kb = build_kg_world(spark, sf_dir)
+    n_turns = transcripts.count()
+    lake_dir = tempfile.mkdtemp(prefix="bench_lake_")
+    lake = Lake(lake_dir)
+    t0 = time.time()
+    run_incremental(
+        spark, transcripts, kb, lake, CFG,
+        cluster_mode="greedy_replay", known_words=KG_STOPWORDS,
+    )
+    wall = time.time() - t0
+    n_triples = spark.read.parquet(lake.path("triples")).count()
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    spark.stop()
+    return wall, n_turns, n_triples
+
+
+def prepare_scaling_world(work_dir: str) -> tuple[str, str, int]:
+    """Generate the big deterministic world once; return (transcripts_path,
+    kb_path, n_turns)."""
+    from dataclasses import replace
+
+    from incremental_entity_extraction_spark.config import DEFAULT_CONFIG
+    from incremental_entity_extraction_spark.fixtures.spark_generator import (
+        make_entities_pdf,
+        spark_transcripts,
+    )
+    from incremental_entity_extraction_spark.session import get_spark
+
+    cfg = replace(DEFAULT_CONFIG, dim=BENCH_DIM)
+    spark = get_spark(cores=CPUS, app_name="bench-gen")
+    entities_all, kb_pdf = make_entities_pdf(BENCH_ENTITIES, cfg=cfg)
+    tdf = spark_transcripts(
+        spark, entities_all, n_convs=BENCH_CONVS, hot_turns=BENCH_HOT,
+        n_batches=BENCH_BATCHES,
+    )
+    t_path = os.path.join(work_dir, "transcripts")
+    kb_path = os.path.join(work_dir, "kb")
+    tdf.write.mode("overwrite").parquet(t_path)
+    spark.createDataFrame(kb_pdf).write.mode("overwrite").parquet(kb_path)
+    n_turns = spark.read.parquet(t_path).count()
+    spark.stop()
+    return t_path, kb_path, n_turns
+
+
+def run_scaling_pipeline(cores: int, t_path: str, kb_path: str) -> float:
+    from dataclasses import replace
+
+    from incremental_entity_extraction_spark.config import DEFAULT_CONFIG
+    from incremental_entity_extraction_spark.pipeline import Lake, run_incremental
+    from incremental_entity_extraction_spark.session import get_spark, warm_python_workers
+
+    cfg = replace(DEFAULT_CONFIG, dim=BENCH_DIM)
+    spark = get_spark(cores=cores, app_name=f"bench-scale-{cores}")
+    transcripts = spark.read.parquet(t_path)
+    kb = spark.read.parquet(kb_path)
+    lake_dir = tempfile.mkdtemp(prefix="bench_scale_lake_")
+    warm_python_workers(spark)  # exclude worker-pool startup from throughput
+    t0 = time.time()
+    run_incremental(
+        spark, transcripts, kb, Lake(lake_dir), cfg, cluster_mode="greedy_replay"
+    )
+    wall = time.time() - t0
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    spark.stop()
+    return wall
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+
+    if "--scaling" in sys.argv:
+        # default pair 4→16: this sandbox's memory bandwidth saturates the
+        # dense-scoring workload above ~16 concurrent workers (see BENCH.md),
+        # so 8→32 measures the hardware ceiling, not the engine's scaling.
+        pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16")
+        n_small, n_big = (int(x) for x in pair.split(","))
+        work_dir = tempfile.mkdtemp(prefix="bench_world_")
+        try:
+            t_path, kb_path, n_turns = prepare_scaling_world(work_dir)
+            walls = {}
+            for cores in (n_small, n_big):
+                walls[cores] = run_scaling_pipeline(cores, t_path, kb_path)
+            thr = {c: n_turns / w for c, w in walls.items()}
+            eff = (thr[n_big] / thr[n_small]) / (n_big / n_small)
+            print(
+                json.dumps(
+                    {
+                        "metric": "kg_pipeline_scaling_efficiency",
+                        "value": round(eff, 4),
+                        "unit": "efficiency",
+                        "throughput_turns_per_sec": {
+                            str(c): round(v, 2) for c, v in thr.items()
+                        },
+                        "wall_s": {str(c): round(w, 2) for c, w in walls.items()},
+                        "n_turns": n_turns,
+                        "cores": [n_small, n_big],
+                        "world": {
+                            "n_convs": BENCH_CONVS,
+                            "hot_turns": BENCH_HOT,
+                            "n_entities": BENCH_ENTITIES,
+                            "dim": BENCH_DIM,
+                            "n_batches": BENCH_BATCHES,
+                        },
+                    }
+                )
+            )
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
+        return
+
+    from incremental_entity_extraction_spark.entry_queries import QUERIES
+    from incremental_entity_extraction_spark.session import get_spark
+
+    wall, n_turns, n_triples = run_documents_pipeline(CPUS, SF_DIR)
+
+    spark = get_spark(cores=CPUS, app_name="bench-queries")
+    q_times = {"kg_pipeline": round(wall, 3)}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        q_times[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_turns_per_sec",
+                "value": round(n_turns / wall, 2),
+                "unit": "turns/sec",
+                "queries": q_times,
+                "sf": sf,
+                "n_turns": n_turns,
+                "n_triples": n_triples,
+                "cores": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1047 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each query exercises operators from SURVEY.md §2 over the driver-provided
+testdata tables (TPC-H-ish star schema + documents/embeddings), or runs the
+real KG pipeline over transcripts deterministically derived from the
+``documents`` table.  For every SQL-expressible query the DuckDB oracle is
+the same relational algebra; float outputs are rounded and money sums are
+computed in DECIMAL so both engines hash identically.
+
+Rows-only queries (no oracle SQL) are the genuinely non-SQL-expressible
+ones: dense-vector retrieval inside the KG pipeline, xxhash64-based MinHash,
+LSH bucketing, incremental state evolution, media decoding.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incremental_entity_extraction_spark.config import DEFAULT_CONFIG as CFG
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: F.length(t) > 0)
+
+
+# SQL fragment: tokenized documents (DuckDB)
+_SQL_TOKS = """
+    SELECT doc_id, t.tok AS tok, t.i AS i
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0) AS ts
+      FROM documents
+    ) d,
+    LATERAL (SELECT unnest(ts) AS tok,
+                    generate_subscripts(ts, 1) AS i) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational queries (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+def q01_filter_project(spark, sf_dir):
+    """P1/P2/P3/P6: predicate + projection + computed column + sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150.0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            # *2 keeps the product at exactly 2 decimal places: no round-half
+            # boundary, so Spark (HALF_UP) and DuckDB agree bit-for-bit
+            F.round(F.col("o_totalprice") * 2, 2).alias("doubled_price"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q01_sql():
+    return """
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice * 2, 2) AS doubled_price,
+               o_orderpriority AS priority
+        FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice > 150.0
+        ORDER BY o_orderkey
+    """
+
+
+def q02_group_agg_stats(spark, sf_dir):
+    """A1/A5/A6/A7: count, decimal sum, avg, exact median, stddev per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        # 2*median of 2-decimal values is itself a 2-decimal value (the sum of
+        # the two middle order stats) — no interpolation rounding boundary
+        F.round(F.expr("percentile(l_extendedprice, 0.5)") * 2, 2).alias("median_price_2x"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+    )
+
+
+def q02_sql():
+    return """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(cast(sum(cast(l_quantity AS decimal(18,2))) AS double), 2) AS sum_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(median(l_extendedprice) * 2, 2) AS median_price_2x,
+               round(stddev_samp(l_discount), 6) AS sd_discount
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q03_hydration_join(spark, sf_dir):
+    """S4/J5/J3: broadcast-hash hydration join, revenue rollup per brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+def q03_sql():
+    return """
+        SELECT p_brand,
+               round(cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double), 4) AS revenue,
+               count(DISTINCT s_suppkey) AS n_suppliers
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY p_brand
+    """
+
+
+def q04_semi_join(spark, sf_dir):
+    """J7/P7: left-semi membership."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_with_orders"))
+    )
+
+
+def q04_sql():
+    return """
+        SELECT c_mktsegment, count(*) AS n_customers_with_orders
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """
+
+
+def q05_anti_join(spark, sf_dir):
+    """J6/R2: left-anti membership."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers_no_orders"))
+    )
+
+
+def q05_sql():
+    return """
+        SELECT n_name, count(*) AS n_customers_no_orders
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY n_name
+    """
+
+
+def q06_mode_per_group(spark, sf_dir):
+    """A3: modal value with deterministic ties (count desc, value asc)."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("modal_priority"), "n")
+    )
+
+
+def q06_sql():
+    return """
+        SELECT o_orderstatus, o_orderpriority AS modal_priority, n FROM (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+          FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ) WHERE rn = 1
+    """
+
+
+def q07_topk_per_key(spark, sf_dir):
+    """W1-relational/W5: top-3 per key by value with deterministic ties."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rank")
+    )
+
+
+def q07_sql():
+    return """
+        SELECT l_orderkey, l_linenumber, l_extendedprice, rank FROM (
+          SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rank
+          FROM lineitem
+        ) WHERE rank <= 3
+    """
+
+
+def q08_union_distinct(spark, sf_dir):
+    """R1/A4: union-all + distinct."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    u = o.select(F.col("o_orderkey").alias("k")).unionByName(
+        li.select(F.col("l_orderkey").alias("k"))
+    )
+    return u.distinct().agg(F.count("*").alias("n_distinct_keys"))
+
+
+def q08_sql():
+    return """
+        SELECT count(*) AS n_distinct_keys FROM (
+          SELECT o_orderkey AS k FROM orders
+          UNION SELECT l_orderkey AS k FROM lineitem
+        )
+    """
+
+
+def q09_explode_wordcount(spark, sf_dir):
+    """R4/A5: explode tokens -> frequency table."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+def q09_sql():
+    return f"""
+        SELECT tok, count(*) AS n FROM ({_SQL_TOKS})
+        GROUP BY tok HAVING count(*) >= 10
+    """
+
+
+def q10_string_similarity(spark, sf_dir):
+    """F1/F2/F3: normalized Levenshtein + token-set Jaccard."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    s = _t(spark, sf_dir, "supplier")
+    j = c.join(s, c.c_nationkey == s.s_nationkey)
+    a = F.lower(F.col("c_name"))
+    b = F.lower(F.col("s_name"))
+    lev_norm = 1 - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b))
+    ta, tb = _tokens(F.col("c_name")), _tokens(F.col("s_name"))
+    jac = F.size(F.array_intersect(ta, tb)) / F.size(F.array_union(ta, tb))
+    return j.groupBy("c_nationkey").agg(
+        F.round(F.avg(lev_norm), 6).alias("avg_lev_sim"),
+        F.round(F.avg(jac), 6).alias("avg_jaccard"),
+        F.count("*").alias("n_pairs"),
+    )
+
+
+def q10_sql():
+    return """
+        SELECT c_nationkey,
+               round(avg(1 - levenshtein(lower(c_name), lower(s_name))
+                         / greatest(length(lower(c_name)), length(lower(s_name)))), 6)
+                 AS avg_lev_sim,
+               round(avg(
+                 len(list_intersect(
+                       list_filter(string_split_regex(lower(c_name), '[^a-z0-9]+'), x -> length(x) > 0),
+                       list_filter(string_split_regex(lower(s_name), '[^a-z0-9]+'), x -> length(x) > 0)))
+                 * 1.0 /
+                 len(list_distinct(list_concat(
+                       list_filter(string_split_regex(lower(c_name), '[^a-z0-9]+'), x -> length(x) > 0),
+                       list_filter(string_split_regex(lower(s_name), '[^a-z0-9]+'), x -> length(x) > 0))))
+               ), 6) AS avg_jaccard,
+               count(*) AS n_pairs
+        FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        WHERE c_custkey <= 200
+        GROUP BY c_nationkey
+    """
+
+
+def q11_curid_url(spark, sf_dir):
+    """S2/F9/F10/F11: regexp int parse + url build + truncation."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": (\\d+)', 1).cast("int")
+    return (
+        e.withColumn("k", k)
+        .withColumn("url", F.concat(F.lit("https://example.org/wiki?curid="), F.col("k")))
+        .withColumn("etype_short", F.substring("event_type", 1, 4))
+        .groupBy("etype_short")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count("*").alias("n"),
+            F.min("url").alias("min_url"),
+        )
+    )
+
+
+def q11_sql():
+    return """
+        SELECT substring(event_type, 1, 4) AS etype_short,
+               cast(sum(cast(regexp_extract(props, '"k": (\\d+)', 1) AS int)) AS bigint) AS sum_k,
+               count(*) AS n,
+               min('https://example.org/wiki?curid=' ||
+                   cast(regexp_extract(props, '"k": (\\d+)', 1) AS int)) AS min_url
+        FROM events GROUP BY substring(event_type, 1, 4)
+    """
+
+
+def q12_logistic_threshold(spark, sf_dir):
+    """F14/M7: closed-form standardized logistic + threshold decision."""
+    e = _t(spark, sf_dir, "events")
+    z = (F.col("value") - 10.0) / 5.0
+    score = 1.0 / (1.0 + F.exp(-(0.3 + 2.0 * z)))
+    return (
+        e.withColumn("score", score)
+        .withColumn("flagged", F.col("score") < 0.5)
+        .groupBy("event_type", "flagged")
+        .agg(F.count("*").alias("n"), F.round(F.avg("score"), 6).alias("avg_score"))
+    )
+
+
+def q12_sql():
+    return """
+        SELECT event_type,
+               (1.0/(1.0+exp(-(0.3 + 2.0*((value-10.0)/5.0))))) < 0.5 AS flagged,
+               count(*) AS n,
+               round(avg(1.0/(1.0+exp(-(0.3 + 2.0*((value-10.0)/5.0))))), 6) AS avg_score
+        FROM events GROUP BY event_type, flagged
+    """
+
+
+def q13_confusion_matrix(spark, sf_dir):
+    """E2-analog: gold/pred confusion counts."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("gold", F.col("event_type") == "error")
+        .withColumn("pred", F.col("value") > 10.0)
+        .groupBy("gold", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q13_sql():
+    return """
+        SELECT event_type = 'error' AS gold, value > 10.0 AS pred, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """
+
+
+def q14_recall_at_k(spark, sf_dir):
+    """W7/W8/E1-analog: rank-of-gold in a sorted candidate list, recall@k."""
+    li = _t(spark, sf_dir, "lineitem")
+    cands = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("l_extendedprice")).alias("neg_price"),
+                            F.col("l_partkey").alias("pk"),
+                        )
+                    )
+                ),
+                lambda s: s["pk"],
+            ).alias("cands"),
+            F.min("l_partkey").alias("gold"),
+        )
+        .withColumn("found_at", F.array_position("cands", F.col("gold")))
+    )
+    return cands.agg(
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("found_at") > 0) & (F.col("found_at") <= 1), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("recall_at_1"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("found_at") > 0) & (F.col("found_at") <= 3), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("recall_at_3"),
+        F.count("*").alias("n_queries"),
+    )
+
+
+def q14_sql():
+    return """
+        WITH ranked AS (
+          SELECT l_orderkey,
+                 list(l_partkey ORDER BY l_extendedprice DESC, l_partkey ASC) AS cands,
+                 min(l_partkey) AS gold
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT round(avg(CASE WHEN list_position(cands, gold) BETWEEN 1 AND 1
+                              THEN 1.0 ELSE 0.0 END), 6) AS recall_at_1,
+               round(avg(CASE WHEN list_position(cands, gold) BETWEEN 1 AND 3
+                              THEN 1.0 ELSE 0.0 END), 6) AS recall_at_3,
+               count(*) AS n_queries
+        FROM ranked
+    """
+
+
+# ---------------------------------------------------------------------------
+# text-analysis / dedup queries (documents table)
+# ---------------------------------------------------------------------------
+def q15_text_stats(spark, sf_dir):
+    """Token counting + quality inputs per source (text-analysis ops)."""
+    from incremental_entity_extraction_spark.operators.text_analysis import (
+        avg_word_len,
+        punct_ratio,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_tokens", token_count("text"))
+        .withColumn("awl", avg_word_len("text"))
+        .withColumn("pr", punct_ratio("text"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("awl"), 6).alias("avg_word_len"),
+            F.round(F.avg("pr"), 6).alias("avg_punct_ratio"),
+        )
+    )
+
+
+def q15_sql():
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 avg(length(tok)) AS awl
+          FROM ({_SQL_TOKS}) GROUP BY doc_id
+        ), pr AS (
+          SELECT doc_id,
+                 length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+                   / greatest(length(text), 1) AS pr
+          FROM documents
+        )
+        SELECT d.source AS source, count(*) AS n_docs,
+               cast(sum(tk.n_tokens) AS bigint) AS total_tokens,
+               round(avg(tk.awl), 6) AS avg_word_len,
+               round(avg(pr.pr), 6) AS avg_punct_ratio
+        FROM documents d JOIN tk USING (doc_id) JOIN pr USING (doc_id)
+        GROUP BY d.source
+    """
+
+
+def q16_fingerprint(spark, sf_dir):
+    """Rolling document fingerprint (position-weighted token hash)."""
+    from incremental_entity_extraction_spark.operators.text_analysis import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q16_sql():
+    return f"""
+        SELECT doc_id,
+               cast(sum(i * (length(tok) * 131 + ascii(substring(tok, 1, 1))))
+                 % 2147483647 AS bigint) AS fp
+        FROM ({_SQL_TOKS})
+        GROUP BY doc_id
+    """
+
+
+def q17_langid(spark, sf_dir):
+    """Heuristic language ID via stopword occurrence ratio."""
+    from incremental_entity_extraction_spark.operators.text_analysis import (
+        EN_STOPWORDS,
+        lang_id,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(lang_id("text").alias("lang_pred")).groupBy("lang_pred").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q17_sql():
+    from incremental_entity_extraction_spark.operators.text_analysis import EN_STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+        WITH ratio AS (
+          SELECT doc_id,
+                 sum(CASE WHEN tok IN ({stoplist}) THEN 1.0 ELSE 0.0 END)
+                   / greatest(count(*), 1) AS swr
+          FROM ({_SQL_TOKS}) GROUP BY doc_id
+        )
+        SELECT CASE WHEN swr >= 0.08 THEN 'en' ELSE 'unknown' END AS lang_pred,
+               count(*) AS n
+        FROM documents LEFT JOIN ratio USING (doc_id)
+        GROUP BY 1
+    """
+
+
+def q18_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_unique_texts"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
+        )
+    )
+
+
+def q18_sql():
+    return """
+        SELECT count(*) AS n_unique_texts,
+               cast(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_groups
+        FROM (
+          SELECT sha256(text) AS text_hash, count(*) AS n_copies,
+                 min(doc_id) AS canonical_id
+          FROM documents GROUP BY sha256(text)
+        )
+    """
+
+
+def q19_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard dedup pairs via shingle inverted index (n=2)."""
+    from incremental_entity_extraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.2)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q19_sql():
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> length(x) > 0) AS ts
+          FROM documents WHERE doc_id < 300
+        ), sh AS (
+          SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ts) - 1, 1))) AS i) g
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """
+
+
+def q20_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (xxhash64 signatures — rows-only)."""
+    from incremental_entity_extraction_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sigs = minhash_signatures(d, "doc_id", "text", n=2, num_hashes=32)
+    return minhash_lsh_pairs(sigs, bands=8, verify_threshold=0.3).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q21_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only; 64-bit signatures via pandas UDF)."""
+    from incremental_entity_extraction_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sigs = simhash_signatures(d, "doc_id", "text")
+    return simhash_near_pairs(sigs, max_hamming=16)
+
+
+# ---------------------------------------------------------------------------
+# vector queries (embeddings table)
+# ---------------------------------------------------------------------------
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q22_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the first 20 vectors (F12/W1)."""
+    from incremental_entity_extraction_spark.operators.similarity_search import (
+        cosine_topk_join,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = cosine_topk_join(q, e, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q22_sql():
+    return """
+        WITH pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.embedding, c.embedding)
+                   / (sqrt(list_dot_product(q.embedding, q.embedding))
+                      * sqrt(list_dot_product(c.embedding, c.embedding))) AS cosine
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM pairs
+        )
+        SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def q23_knn_label_vote(spark, sf_dir):
+    """kNN majority-vote classification (W1 + A3 composition)."""
+    from incremental_entity_extraction_spark.operators.similarity_search import (
+        cosine_topk_join,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    nn = cosine_topk_join(q, e, k=5)
+    labeled = nn.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "nl").agg(F.count("*").alias("v"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("nl"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nl").alias("pred_label"))
+    )
+    truth = e.select(F.col("vec_id").alias("query_id"), "label")
+    return (
+        pred.join(truth, "query_id")
+        .groupBy()
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+
+
+def q23_sql():
+    return """
+        WITH pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+                 list_dot_product(q.embedding, c.embedding)
+                   / (sqrt(list_dot_product(q.embedding, q.embedding))
+                      * sqrt(list_dot_product(c.embedding, c.embedding))) AS cosine
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, nl,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM pairs
+        ), votes AS (
+          SELECT query_id, nl, count(*) AS v FROM ranked WHERE rank <= 5
+          GROUP BY query_id, nl
+        ), pred AS (
+          SELECT query_id, nl AS pred_label FROM (
+            SELECT query_id, nl, row_number() OVER (PARTITION BY query_id
+                     ORDER BY v DESC, nl ASC) AS rn
+            FROM votes
+          ) WHERE rn = 1
+        )
+        SELECT count(*) AS n,
+               cast(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END) AS bigint) AS n_correct
+        FROM pred JOIN embeddings ON query_id = vec_id
+    """
+
+
+def q24_emb_neardup_brute(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, brute force (SQL-checkable)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    j = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        j.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.8)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def q24_sql():
+    return """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.embedding, b.embedding)
+                 / (sqrt(list_dot_product(a.embedding, a.embedding))
+                    * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+          AND list_dot_product(a.embedding, b.embedding)
+                 / (sqrt(list_dot_product(a.embedding, a.embedding))
+                    * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.8
+    """
+
+
+def q25_emb_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup via sign-projection LSH (rows-only scale path)."""
+    from incremental_entity_extraction_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.8, n_planes=8
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline over transcripts derived from the documents table
+# ---------------------------------------------------------------------------
+# The real-data flagship: documents become conversation turns; mentions are
+# runs of non-stopword tokens (chunked into 2-token surfaces by the
+# detector); the KB is the set of frequent surfaces (count >= KB_MIN_COUNT),
+# so rare surfaces are genuine NIL entities that the incremental loop must
+# discover, cluster, and re-link across batches.
+KG_STOPWORDS = frozenset({"the", "a"})
+KB_MIN_COUNT = 6
+N_CONVS = 50
+N_BATCHES = 4
+
+_kg_cache: dict = {}
+
+
+def derive_transcripts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    return d.select(
+        F.concat(F.lit("conv_"), (F.col("doc_id") % N_CONVS).cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("doc_id") / N_CONVS).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.least(
+            F.lit(N_BATCHES - 1),
+            (F.col("doc_id") * N_BATCHES / n_docs).cast("int"),
+        ).alias("batch_id"),
+        F.col("doc_id"),
+    )
+
+
+def q26_kg_transcripts(spark, sf_dir):
+    """Transcript derivation itself (SQL-checkable projection)."""
+    return derive_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "batch_id", "doc_id"
+    )
+
+
+def q26_sql():
+    return f"""
+        SELECT 'conv_' || cast(doc_id % {N_CONVS} AS varchar) AS conv_id,
+               cast(doc_id // {N_CONVS} AS int) AS turn_idx,
+               CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user'
+                    WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+               cast(least({N_BATCHES - 1},
+                    doc_id * {N_BATCHES} // (SELECT count(*) FROM documents))
+                    AS int) AS batch_id,
+               doc_id
+        FROM documents
+    """
+
+
+def q27_kg_mention_tokens(spark, sf_dir):
+    """Token-level mention extraction: non-stopword tokens per turn
+    (SQL-checkable analogue of the detector's OOV rule)."""
+    t = derive_transcripts(spark, sf_dir)
+    toks = t.select(
+        "conv_id", "turn_idx", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).filter(~F.col("tok").isin(*KG_STOPWORDS))
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def q27_sql():
+    stop = ", ".join(f"'{w}'" for w in sorted(KG_STOPWORDS))
+    return f"""
+        WITH t AS (
+          SELECT 'conv_' || cast(doc_id % {N_CONVS} AS varchar) AS conv_id,
+                 tok
+          FROM ({_SQL_TOKS})
+        )
+        SELECT tok, count(*) AS n_mentions,
+               count(DISTINCT conv_id) AS n_convs
+        FROM t WHERE tok NOT IN ({stop})
+        GROUP BY tok
+    """
+
+
+def build_kg_world(spark, sf_dir):
+    """Derive (transcripts, kb entities) from documents — deterministic."""
+    from incremental_entity_extraction_spark.operators.encode import (
+        encode_entities_df,
+    )
+    from incremental_entity_extraction_spark.operators.mentions import detect_mentions
+
+    transcripts = derive_transcripts(spark, sf_dir).drop("doc_id").localCheckpoint()
+    surfaces = (
+        detect_mentions(transcripts, known_words=KG_STOPWORDS)
+        .groupBy("mention")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= KB_MIN_COUNT)
+        .orderBy("mention")
+    )
+    ents = surfaces.select(
+        F.row_number()
+        .over(Window.orderBy("mention"))
+        .cast("long")
+        .alias("id"),
+        F.lit(CFG.ro_indexer_id).cast("int").alias("indexer"),
+        (
+            F.row_number().over(Window.orderBy("mention")) + 1000
+        ).cast("long").alias("wikipedia_id"),
+        F.col("mention").alias("title"),
+        F.concat(F.lit("derived entity "), F.col("mention")).alias("descr"),
+        F.lit("derived").alias("type_"),
+    )
+    kb = encode_entities_df(ents, CFG).localCheckpoint()
+    return transcripts, kb
+
+
+def run_kg_pipeline(spark, sf_dir):
+    """Run (and cache) the incremental KG pipeline over the derived world."""
+    import os
+
+    from incremental_entity_extraction_spark.pipeline import Lake, run_incremental
+
+    key = os.path.abspath(sf_dir)
+    if key in _kg_cache:
+        return _kg_cache[key]
+    transcripts, kb = build_kg_world(spark, sf_dir)
+    lake_dir = tempfile.mkdtemp(prefix="kg_lake_")
+    lake = Lake(lake_dir)
+    stats = run_incremental(
+        spark, transcripts, kb, lake, CFG,
+        cluster_mode="greedy_replay", known_words=KG_STOPWORDS,
+    )
+    _kg_cache[key] = (lake, stats)
+    return _kg_cache[key]
+
+
+def q28_kg_triples(spark, sf_dir):
+    """Full incremental KG pipeline -> triples (rows-only; dense retrieval
+    + clustering are not SQL-expressible)."""
+    lake, _ = run_kg_pipeline(spark, sf_dir)
+    return spark.read.parquet(lake.path("triples")).select(
+        "subj", "pred", "obj", "batch_id"
+    )
+
+
+def q29_kg_triple_summary(spark, sf_dir):
+    """Triple counts per predicate per batch (rows-only)."""
+    lake, _ = run_kg_pipeline(spark, sf_dir)
+    return (
+        spark.read.parquet(lake.path("triples"))
+        .groupBy("pred", "batch_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q30_kg_incremental_state(spark, sf_dir):
+    """New-entity discovery curve: RW KB growth per batch (rows-only)."""
+    lake, _ = run_kg_pipeline(spark, sf_dir)
+    ne = spark.read.parquet(lake.path("new_entities"))
+    return ne.groupBy("batch_id").agg(
+        F.count("*").alias("n_new_entities"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+def q31_kg_nil_rate(spark, sf_dir):
+    """NIL rate + linking split per batch from the enriched mention table
+    (rows-only)."""
+    lake, _ = run_kg_pipeline(spark, sf_dir)
+    m = spark.read.parquet(lake.path("mentions"))
+    return m.groupBy("batch_id").agg(
+        F.count("*").alias("n_mentions"),
+        F.sum(F.when(F.col("is_nil"), 1).otherwise(0)).alias("n_nil"),
+        F.sum(
+            F.when((~F.col("is_nil")) & (F.col("top_indexer") == CFG.rw_indexer_id), 1)
+            .otherwise(0)
+        ).alias("n_linked_to_discovered"),
+    )
+
+
+def q32_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> feature extraction (rows-only)."""
+    from incremental_entity_extraction_spark.operators import multimodal
+
+    media = multimodal.make_media_fixture(spark, n=96)
+    feats = multimodal.extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+    )
+
+
+def q33_kg_cluster_quality(spark, sf_dir):
+    """Discovered-cluster size distribution (rows-only)."""
+    lake, _ = run_kg_pipeline(spark, sf_dir)
+    pc = spark.read.parquet(lake.path("prev_clusters"))
+    return pc.groupBy("nelements").agg(F.count("*").alias("n_clusters"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+QUERIES = {
+    "q01_filter_project": q01_filter_project,
+    "q02_group_agg_stats": q02_group_agg_stats,
+    "q03_hydration_join": q03_hydration_join,
+    "q04_semi_join": q04_semi_join,
+    "q05_anti_join": q05_anti_join,
+    "q06_mode_per_group": q06_mode_per_group,
+    "q07_topk_per_key": q07_topk_per_key,
+    "q08_union_distinct": q08_union_distinct,
+    "q09_explode_wordcount": q09_explode_wordcount,
+    "q10_string_similarity": q10_string_similarity,
+    "q11_curid_url": q11_curid_url,
+    "q12_logistic_threshold": q12_logistic_threshold,
+    "q13_confusion_matrix": q13_confusion_matrix,
+    "q14_recall_at_k": q14_recall_at_k,
+    "q15_text_stats": q15_text_stats,
+    "q16_fingerprint": q16_fingerprint,
+    "q17_langid": q17_langid,
+    "q18_dedup_exact": q18_dedup_exact,
+    "q19_ngram_jaccard": q19_ngram_jaccard,
+    "q20_minhash_lsh": q20_minhash_lsh,
+    "q21_simhash": q21_simhash,
+    "q22_cosine_topk": q22_cosine_topk,
+    "q23_knn_label_vote": q23_knn_label_vote,
+    "q24_emb_neardup_brute": q24_emb_neardup_brute,
+    "q25_emb_neardup_lsh": q25_emb_neardup_lsh,
+    "q26_kg_transcripts": q26_kg_transcripts,
+    "q27_kg_mention_tokens": q27_kg_mention_tokens,
+    "q28_kg_triples": q28_kg_triples,
+    "q29_kg_triple_summary": q29_kg_triple_summary,
+    "q30_kg_incremental_state": q30_kg_incremental_state,
+    "q31_kg_nil_rate": q31_kg_nil_rate,
+    "q32_media_features": q32_media_features,
+    "q33_kg_cluster_quality": q33_kg_cluster_quality,
+}
+
+ORACLE_SQL = {
+    "q01_filter_project": q01_sql(),
+    "q02_group_agg_stats": q02_sql(),
+    "q03_hydration_join": q03_sql(),
+    "q04_semi_join": q04_sql(),
+    "q05_anti_join": q05_sql(),
+    "q06_mode_per_group": q06_sql(),
+    "q07_topk_per_key": q07_sql(),
+    "q08_union_distinct": q08_sql(),
+    "q09_explode_wordcount": q09_sql(),
+    "q10_string_similarity": q10_sql(),
+    "q11_curid_url": q11_sql(),
+    "q12_logistic_threshold": q12_sql(),
+    "q13_confusion_matrix": q13_sql(),
+    "q14_recall_at_k": q14_sql(),
+    "q15_text_stats": q15_sql(),
+    "q16_fingerprint": q16_sql(),
+    "q17_langid": q17_sql(),
+    "q18_dedup_exact": q18_sql(),
+    "q19_ngram_jaccard": q19_sql(),
+    "q22_cosine_topk": q22_sql(),
+    "q23_knn_label_vote": q23_sql(),
+    "q24_emb_neardup_brute": q24_sql(),
+    "q26_kg_transcripts": q26_sql(),
+    "q27_kg_mention_tokens": q27_sql(),
+}

@@ -58,19 +58,29 @@ _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 
 def _entity_titles(n: int) -> list[str]:
-    """n unique two-token titles from syllable products.
+    """n two-token titles with pairwise-distinct token *sets*.
 
-    Tokens are disjoint across the first 300 titles (600 distinct tokens, 2
-    per title) so no two entities share surface tokens — the bag-of-words
-    featurizer is order-invariant, so shared tokens would alias entities.
+    The bag-of-words featurizer is order-invariant, so two titles with the
+    same token set would alias.  The first 300 titles use fully disjoint
+    tokens (600 distinct tokens, 2 each — zero cross-entity similarity);
+    beyond that, titles may share ONE token with another entity (cosine
+    ~0.45 — far below both the linking and clustering regimes) but never
+    both.  Capacity: C(600, 2) = 179,700 entities.
     """
     toks = [a + b for a in _SYL_A for b in _SYL_B]  # 600 unique tokens
-    titles = []
-    for i in range(n):
-        t1 = toks[(2 * i) % len(toks)]
-        t2 = toks[(2 * i + 1) % len(toks)]
-        suffix = "" if i < 300 else f" {i // 300}"
-        titles.append(f"{t1} {t2}{suffix}")
+    m = len(toks)
+    titles = [f"{toks[2 * i]} {toks[2 * i + 1]}" for i in range(min(n, m // 2))]
+    if n > m // 2:
+        used = {(2 * i, 2 * i + 1) for i in range(m // 2)}
+        for a in range(m):
+            for b in range(a + 1, m):
+                if len(titles) >= n:
+                    return titles
+                if (a, b) in used:
+                    continue
+                titles.append(f"{toks[a]} {toks[b]}")
+        if len(titles) < n:
+            raise ValueError(f"title capacity exceeded: {n} > {m * (m - 1) // 2}")
     return titles
 
 

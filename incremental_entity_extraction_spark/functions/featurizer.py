@@ -77,18 +77,25 @@ def encode_token_lists(
     analogue of BLINK's ``[unused0]`` mention markers steering attention
     (data_process.py:26-69).
     """
-    out = np.zeros((len(token_lists), dim), dtype=np.float32)
+    n = len(token_lists)
+    out = np.zeros((n, dim), dtype=np.float32)
+    # vectorized accumulation: hash each *unique* token once, then one
+    # scatter-add over (row, token) incidences — the encode hot path is
+    # O(unique tokens) hashing + O(incidences) float adds
+    vocab: dict[str, int] = {}
+    rows: list[int] = []
+    cols: list[int] = []
+    wts: list[float] = []
     for i, toks in enumerate(token_lists):
-        if not toks:
-            continue
-        acc = np.zeros(dim, dtype=np.float32)
-        if weights is None:
-            for t in toks:
-                acc += token_vector(t, dim)
-        else:
-            for t, w in zip(toks, weights[i]):
-                acc += np.float32(w) * token_vector(t, dim)
-        out[i] = acc
+        ws = weights[i] if weights is not None else None
+        for j, t in enumerate(toks):
+            cols.append(vocab.setdefault(t, len(vocab)))
+            rows.append(i)
+            wts.append(1.0 if ws is None else ws[j])
+    if vocab:
+        V = np.stack([token_vector(t, dim) for t in vocab])
+        contrib = V[np.asarray(cols)] * np.asarray(wts, dtype=np.float32)[:, None]
+        np.add.at(out, np.asarray(rows), contrib)
     lens = np.linalg.norm(out, axis=1)
     nz = lens > 0
     out[nz] = out[nz] * (np.float32(norm) / lens[nz, None]).astype(np.float32)

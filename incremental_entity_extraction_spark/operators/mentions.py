@@ -39,17 +39,27 @@ MENTION_SCHEMA = T.StructType(
 )
 
 
-def detect_mentions(transcripts: DataFrame) -> DataFrame:
-    """transcripts(conv_id, turn_idx, text, batch_id, ...) -> mention rows."""
+def detect_mentions(transcripts: DataFrame, known_words: frozenset | None = None) -> DataFrame:
+    """transcripts(conv_id, turn_idx, text, batch_id, ...) -> mention rows.
+
+    ``known_words`` overrides the default filler vocabulary — e.g. a
+    corpus-derived frequent-token set (mentions are then the rare-token
+    runs).  The set ships to executors via closure broadcast."""
 
     def _detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kw = known_words
         for pdf in batches:
             rows = {k: [] for k in MENTION_SCHEMA.fieldNames()}
             for conv_id, turn_idx, batch_id, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["batch_id"], pdf["text"]
             ):
                 toks = tokenize(text)
-                for start, width, surface in detect_mentions_in_tokens(toks):
+                spans = (
+                    detect_mentions_in_tokens(toks)
+                    if kw is None
+                    else detect_mentions_in_tokens(toks, kw)
+                )
+                for start, width, surface in spans:
                     rows["mention_id"].append(f"{conv_id}:{turn_idx}:{start}")
                     rows["conv_id"].append(conv_id)
                     rows["turn_idx"].append(int(turn_idx))

@@ -49,6 +49,7 @@ CANDIDATE_STRUCT = T.StructType(
 )
 
 _SCORE_CHUNK_ROWS = 1024  # mention rows scored per matmul block
+_ENT_TILE = 2048          # entity columns per score tile (cache-resident)
 
 
 class KBShard:
@@ -105,67 +106,85 @@ def retrieve_topk(
     def _topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         shard_list = bc.value
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
             enc = np.stack(
                 [np.asarray(e, dtype=np.float32) for e in pdf["encoding"]]
             )
-            cands_col: list[list[dict]] = []
-            for lo in range(0, n, _SCORE_CHUNK_ROWS):
-                chunk = enc[lo : lo + _SCORE_CHUNK_ROWS]
-                # per-shard top-k, then merge (two-level top-k, SURVEY.md W1)
-                parts = []
-                for shard in shard_list:
-                    if shard.E.shape[0] == 0:
-                        continue
-                    scores = chunk @ shard.E.T  # [c, n_shard]
-                    kk = min(k_cfg, scores.shape[1])
-                    idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-                    rows = np.arange(len(chunk))[:, None]
-                    parts.append(
-                        (
-                            scores[rows, idx],
-                            shard.ids[idx],
-                            shard.indexer[idx],
-                            shard.wikipedia_id[idx],
-                            shard.title[idx],
-                        )
-                    )
-                if not parts:
-                    cands_col.extend([[] for _ in range(len(chunk))])
-                    continue
-                sc = np.concatenate([p[0] for p in parts], axis=1)
-                ids = np.concatenate([p[1] for p in parts], axis=1)
-                idxr = np.concatenate([p[2] for p in parts], axis=1)
-                wids = np.concatenate([p[3] for p in parts], axis=1)
-                titles = np.concatenate([p[4] for p in parts], axis=1)
-                kk = min(k_cfg, sc.shape[1])
-                # deterministic global order: score desc, indexer asc, id asc
-                order = np.lexsort((ids, idxr, -sc), axis=1)[:, :kk]
-                rows = np.arange(len(chunk))[:, None]
-                sc, ids = sc[rows, order], ids[rows, order]
-                idxr, wids = idxr[rows, order], wids[rows, order]
-                titles = titles[rows, order]
-                for r in range(len(chunk)):
-                    cands_col.append(
-                        [
-                            {
-                                "id": int(ids[r, c]),
-                                "indexer": int(idxr[r, c]),
-                                "wikipedia_id": int(wids[r, c]),
-                                "title": str(titles[r, c]),
-                                "score": float(sc[r, c]),
-                                "norm_score": float(sc[r, c] / norm2),
-                            }
-                            for c in range(kk)
-                        ]
-                    )
             out = pdf[in_cols].copy()
-            out["candidates"] = cands_col
+            out["candidates"] = topk_candidates_kernel(
+                enc, shard_list, k_cfg, norm2
+            )
             yield out
 
     return mentions.mapInPandas(_topk, schema=out_schema)
+
+
+def topk_candidates_kernel(
+    enc: np.ndarray, shard_list: list[KBShard], k: int, norm2: float
+) -> list[list[dict]]:
+    """Exact top-k candidate lists for an encoding matrix vs broadcast shards.
+
+    Per-shard, per-tile top-k, then merge (two-level top-k, SURVEY.md W1).
+    Entity tiles keep the score block cache-resident (chunk × _ENT_TILE
+    floats ≈ 8 MB) — a full chunk × n_entities block is DRAM-bandwidth-bound
+    and collapses under concurrent workers.
+    """
+    n = len(enc)
+    cands_col: list[list[dict]] = []
+    for lo in range(0, n, _SCORE_CHUNK_ROWS):
+        chunk = enc[lo : lo + _SCORE_CHUNK_ROWS]
+        parts = []
+        for shard in shard_list:
+            n_shard = shard.E.shape[0]
+            if n_shard == 0:
+                continue
+            rows = np.arange(len(chunk))[:, None]
+            for t0 in range(0, n_shard, _ENT_TILE):
+                tile = shard.E[t0 : t0 + _ENT_TILE]
+                scores = chunk @ tile.T  # [c, tile]
+                kk = min(k, scores.shape[1])
+                idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+                gidx = idx + t0
+                parts.append(
+                    (
+                        scores[rows, idx],
+                        shard.ids[gidx],
+                        shard.indexer[gidx],
+                        shard.wikipedia_id[gidx],
+                        shard.title[gidx],
+                    )
+                )
+        if not parts:
+            cands_col.extend([[] for _ in range(len(chunk))])
+            continue
+        sc = np.concatenate([p[0] for p in parts], axis=1)
+        ids = np.concatenate([p[1] for p in parts], axis=1)
+        idxr = np.concatenate([p[2] for p in parts], axis=1)
+        wids = np.concatenate([p[3] for p in parts], axis=1)
+        titles = np.concatenate([p[4] for p in parts], axis=1)
+        kk = min(k, sc.shape[1])
+        # deterministic global order: score desc, indexer asc, id asc
+        order = np.lexsort((ids, idxr, -sc), axis=1)[:, :kk]
+        rows = np.arange(len(chunk))[:, None]
+        sc, ids = sc[rows, order], ids[rows, order]
+        idxr, wids = idxr[rows, order], wids[rows, order]
+        titles = titles[rows, order]
+        for r in range(len(chunk)):
+            cands_col.append(
+                [
+                    {
+                        "id": int(ids[r, c]),
+                        "indexer": int(idxr[r, c]),
+                        "wikipedia_id": int(wids[r, c]),
+                        "title": str(titles[r, c]),
+                        "score": float(sc[r, c]),
+                        "norm_score": float(sc[r, c] / norm2),
+                    }
+                    for c in range(kk)
+                ]
+            )
+    return cands_col
 
 
 def hydrate_candidates(candidates: DataFrame, entities: DataFrame) -> DataFrame:

@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk_broadcast`` — the scale path: broadcast corpus matrix,
+  per-partition matmul + argpartition (same machinery class as W1 retrieval).
+* ``cosine_topk_join``      — pure-DataFrame brute force (crossjoin + HOF dot
+  + window top-k); SQL-expressible, used for oracle cross-checks.
+* ``ivf_topk``              — IVF-style ANN: seeded k-means centroids (driver,
+  deterministic), corpus bucketed by nearest centroid, queries probe the
+  ``n_probe`` nearest centroid buckets only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("neighbor_id", T.LongType(), False),
+        T.StructField("cosine", T.DoubleType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+    ]
+)
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    return X / norms[:, None]
+
+
+def cosine_topk_broadcast(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: corpus broadcast as a normalized matrix; each
+    query partition does one matmul.  Deterministic ties: cosine desc,
+    neighbor_id asc."""
+    spark = queries.sparkSession
+    corpus_pdf = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).toPandas()
+    C = _normalize(
+        np.stack([np.asarray(v, dtype=np.float32) for v in corpus_pdf["vec"]])
+    )
+    c_ids = corpus_pdf["id"].to_numpy(dtype=np.int64)
+    bc = spark.sparkContext.broadcast((C, c_ids))
+
+    def _topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cm, ids = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = _normalize(
+                np.stack([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
+            )
+            S = Q @ Cm.T
+            q_ids = pdf["id"].to_numpy(dtype=np.int64)
+            if exclude_self:
+                for r, qid in enumerate(q_ids):
+                    S[r, ids == qid] = -np.inf
+            kk = min(k, S.shape[1])
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(len(Q))[:, None]
+            sub = S[rows, idx]
+            nid = ids[idx]
+            order = np.lexsort((nid, -sub), axis=1)
+            out_rows = []
+            for r in range(len(Q)):
+                for rank, c in enumerate(order[r], start=1):
+                    out_rows.append(
+                        (int(q_ids[r]), int(nid[r, c]), float(sub[r, c]), rank)
+                    )
+            yield pd.DataFrame(
+                out_rows, columns=["query_id", "neighbor_id", "cosine", "rank"]
+            )
+
+    return queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(_topk, schema=_TOPK_SCHEMA)
+
+
+def cosine_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force via broadcast crossjoin + built-in HOF dot product +
+    window top-k.  O(|Q|·|C|) rows — the oracle-checkable baseline, and
+    fine when |C| is small or |Q| is a filtered probe set."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    joined = q.crossJoin(F.broadcast(c))
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = joined.withColumn(
+        "cosine", (dot / (norm(F.col("qv")) * norm(F.col("cv")))).cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def kmeans_centroids(
+    X: np.ndarray, n_centroids: int, n_iter: int = 10, seed: int = 11
+) -> np.ndarray:
+    """Deterministic seeded Lloyd's k-means on a (sampled) matrix — driver
+    side; centroids are a tiny model broadcast to executors."""
+    rng = np.random.default_rng(seed)
+    Xn = _normalize(X.astype(np.float32))
+    idx = rng.choice(len(Xn), size=min(n_centroids, len(Xn)), replace=False)
+    C = Xn[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(len(C)):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    return C
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN: corpus rows bucketed by nearest centroid; each query scores
+    only its n_probe nearest centroid buckets.  Scales the scan by
+    n_probe/n_centroids at a small recall cost (tested >= 0.9 vs exact)."""
+    spark = queries.sparkSession
+    corpus_pdf = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).toPandas()
+    X = np.stack([np.asarray(v, dtype=np.float32) for v in corpus_pdf["vec"]])
+    C = kmeans_centroids(X, n_centroids, seed=seed)
+    Xn = _normalize(X)
+    assign = np.argmax(Xn @ C.T, axis=1)
+    # bucketed corpus shards, broadcast as dict {bucket: (matrix, ids)}
+    buckets: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    ids_all = corpus_pdf["id"].to_numpy(dtype=np.int64)
+    for b in np.unique(assign):
+        sel = assign == b
+        buckets[int(b)] = (Xn[sel], ids_all[sel])
+    bc = spark.sparkContext.broadcast((C, buckets))
+
+    def _search(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cm, bkts = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = _normalize(
+                np.stack([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
+            )
+            q_ids = pdf["id"].to_numpy(dtype=np.int64)
+            probe = np.argsort(-(Q @ Cm.T), axis=1)[:, :n_probe]
+            out = []
+            for r in range(len(Q)):
+                mats, idl = [], []
+                for b in probe[r]:
+                    if int(b) in bkts:
+                        m, i = bkts[int(b)]
+                        mats.append(m)
+                        idl.append(i)
+                M = np.concatenate(mats)
+                I = np.concatenate(idl)
+                s = M @ Q[r]
+                if exclude_self:
+                    s[I == q_ids[r]] = -np.inf
+                kk = min(k, len(s))
+                top = np.argpartition(-s, kk - 1)[:kk]
+                order = top[np.lexsort((I[top], -s[top]))]
+                for rank, c in enumerate(order, start=1):
+                    out.append((int(q_ids[r]), int(I[c]), float(s[c]), rank))
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "cosine", "rank"]
+            )
+
+    return queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(_search, schema=_TOPK_SCHEMA)

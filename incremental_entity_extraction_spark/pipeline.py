@@ -44,17 +44,17 @@ from incremental_entity_extraction_spark.operators.clustering import (
     cluster_greedy_replay,
     summarize_clusters_df,
 )
-from incremental_entity_extraction_spark.operators.encode import encode_mentions_df
+from incremental_entity_extraction_spark.operators.fused import (
+    detect_encode_retrieve,
+)
 from incremental_entity_extraction_spark.operators.kb import (
     assign_new_entity_ids,
     new_entity_rows,
 )
-from incremental_entity_extraction_spark.operators.mentions import detect_mentions
 from incremental_entity_extraction_spark.operators.nil import predict_nil
 from incremental_entity_extraction_spark.operators.retrieval import (
     KBShard,
     build_kb_shards,
-    retrieve_topk,
 )
 from incremental_entity_extraction_spark.operators.triples import (
     cluster_triples,
@@ -106,6 +106,7 @@ def run_batch(
     next_rw_id: int,
     cfg: PipelineConfig,
     cluster_mode: str = "cc",
+    known_words: frozenset | None = None,
 ):
     """One batch: transcripts -> (nil_scored, clusters_with_ids, new_entities,
     triples).  Nothing is collected except the (small) cluster/new-entity
@@ -114,10 +115,13 @@ def run_batch(
     if len(rw_pdf):
         shards = shards + [KBShard(rw_pdf.reset_index(drop=True))]
 
-    mentions = detect_mentions(transcripts_batch)
-    encoded = encode_mentions_df(mentions, cfg)
-    candidates = retrieve_topk(encoded, cfg, shards)
-    nil_scored = predict_nil(candidates, cfg)
+    # fused single-hop stage (operators/fused.py): one Python worker per
+    # task instead of three chained ones; identical output to the composed
+    # detect_mentions → encode_mentions_df → retrieve_topk chain
+    enriched = detect_encode_retrieve(
+        transcripts_batch, cfg, shards, known_words=known_words
+    )
+    nil_scored = predict_nil(enriched, cfg)
     # two materialization barriers by design (SURVEY.md §3.1): clustering is
     # iterative, and the KB append is the batch boundary.
     nil_scored = nil_scored.localCheckpoint()
@@ -130,8 +134,11 @@ def run_batch(
         labels = cluster_greedy_replay(nil_df, cfg)
     else:
         labels = cluster_cc(nil_df, cfg)
+    # labels/clusters are small; checkpoint so the downstream actions
+    # (3 table writes + triples) don't each replay the clustering chain
+    labels = labels.localCheckpoint()
     clusters = summarize_clusters_df(nil_df, labels, cfg)
-    clusters_with_ids = assign_new_entity_ids(clusters, next_rw_id, cfg)
+    clusters_with_ids = assign_new_entity_ids(clusters, next_rw_id, cfg).localCheckpoint()
     new_entities = new_entity_rows(clusters_with_ids, cfg)
 
     triples = mention_triples(nil_scored, cfg).unionByName(
@@ -150,6 +157,7 @@ def run_incremental(
     n_shards: int = 1,
     resume: bool = True,
     partitions: int | None = None,
+    known_words: frozenset | None = None,
 ) -> list[dict]:
     """Loop over batch_id in ascending order, threading KB state through the
     lake; resumable via the lineage table."""
@@ -183,7 +191,7 @@ def run_incremental(
             partitions, "conv_id", "turn_idx"  # turn_idx = skew salt
         )
         nil_scored, clusters_with_ids, new_entities, triples = run_batch(
-            tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode
+            tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words
         )
         # S7 analogue: persist the enriched mention table per batch
         # (reference pickles outdata per batch, eval_kbp.py:654-658);
@@ -207,9 +215,13 @@ def run_incremental(
                 else add_pdf
             )
             next_rw_id = int(rw_pdf["id"].max()) + 1
+        counts = nil_scored.agg(
+            F.count("*").alias("n_mentions"),
+            F.sum(F.when(F.col("is_nil"), 1).otherwise(0)).alias("n_nil"),
+        ).first()
         stats = {
-            "n_mentions": nil_scored.count(),
-            "n_nil": nil_scored.filter(F.col("is_nil")).count(),
+            "n_mentions": int(counts["n_mentions"]),
+            "n_nil": int(counts["n_nil"] or 0),
             "n_clusters": int(len(add_pdf)),
             "wall_s": round(time.time() - t0, 3),
         }

@@ -45,3 +45,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, waves: int = 2) -> None:
+    """Warm the Python-worker pool before timing a benchmark.
+
+    Local mode forks one Python daemon worker per core; the first task each
+    worker runs pays the numpy/pandas/pyarrow import storm (all workers
+    importing simultaneously contend on CPU — ~20s at 32 workers vs ~3s
+    steady-state for the same job).  A real cluster pays this once at
+    executor startup, so benchmarks exclude it by running one trivial
+    Arrow-UDF wave per worker first.
+    """
+    import pandas as pd  # noqa: F401
+
+    cores = spark.sparkContext.defaultParallelism
+    df = spark.range(cores * waves).repartition(cores * waves)
+
+    def _touch(batches):
+        # force the heavy imports the pipeline UDFs need
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        import incremental_entity_extraction_spark.functions.featurizer  # noqa: F401
+
+        for pdf in batches:
+            yield pdf
+
+    df.mapInPandas(_touch, schema="id long").count()

@@ -1,0 +1,111 @@
+"""Structured Streaming driver: the batch-incremental loop as a stream.
+
+The reference's "streaming" is batch-incremental — batch files processed in
+CLI order with cross-batch KB state (SURVEY.md §2.10; eval_kbp.py:781-785).
+The Spark-native mapping is a file-source stream consumed with
+``trigger(availableNow=True)`` + ``foreachBatch``: each micro-batch applies
+the same ``run_batch`` stages and advances the lake state, and the stream
+checkpoint gives exactly-once file-level progress on top of the lake's own
+batch-id lineage (two independent resume mechanisms — either alone can
+recover the run).
+
+Within a micro-batch, batch_ids are processed in ascending order so the
+incremental contract (later batches see earlier batches' discovered
+entities) holds regardless of how the source groups files.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from incremental_entity_extraction_spark.config import DEFAULT_CONFIG, PipelineConfig
+from incremental_entity_extraction_spark.operators.retrieval import build_kb_shards
+from incremental_entity_extraction_spark.pipeline import Lake, run_batch
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, batch_id int"
+)
+
+
+def run_streaming_incremental(
+    spark: SparkSession,
+    transcripts_path: str,
+    kb_ro,
+    lake: Lake,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    cluster_mode: str = "greedy_replay",
+    known_words: frozenset | None = None,
+    max_files_per_trigger: int | None = None,
+    n_shards: int = 1,
+) -> None:
+    """Consume a transcript parquet directory as a stream; emit lake tables.
+
+    ``max_files_per_trigger`` < number of files forces multiple micro-batches
+    (exercises cross-epoch state threading); ``availableNow`` drains all
+    pending input then stops."""
+    ro_shards = build_kb_shards(kb_ro, n_shards)
+
+    def _process(batch_df, epoch_id: int) -> None:
+        # state snapshot from the lake (epoch-safe resume)
+        done = lake.completed_batches()
+        rw_df = lake.read(spark, "new_entities")
+        if rw_df is not None and done:
+            rw_pdf = (
+                rw_df.filter(F.col("batch_id").isin([int(b) for b in done]))
+                .drop("batch_id")
+                .toPandas()
+            )
+        else:
+            rw_pdf = pd.DataFrame(
+                columns=[
+                    "id", "indexer", "wikipedia_id", "title", "descr", "type_",
+                    "embedding",
+                ]
+            )
+        next_rw_id = int(rw_pdf["id"].max()) + 1 if len(rw_pdf) else 0
+
+        batch_ids = sorted(
+            r["batch_id"]
+            for r in batch_df.select("batch_id").distinct().collect()
+        )
+        for b in batch_ids:
+            if b in done:
+                continue
+            tb = batch_df.filter(F.col("batch_id") == int(b))
+            nil_scored, clusters_with_ids, new_entities, triples = run_batch(
+                tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words
+            )
+            lake.write_partition(nil_scored.drop("encoding"), "mentions")
+            lake.write_partition(triples, "triples")
+            lake.write_partition(new_entities, "new_entities")
+            lake.write_partition(
+                clusters_with_ids.select(
+                    "cluster_label", "title", "nelements", "mentions_id",
+                    "mentions", "index_id", "index_indexer", "batch_id",
+                ),
+                "prev_clusters",
+            )
+            add_pdf = new_entities.drop("batch_id").toPandas()
+            if len(add_pdf):
+                rw_pdf = (
+                    pd.concat([rw_pdf, add_pdf], ignore_index=True)
+                    if len(rw_pdf)
+                    else add_pdf
+                )
+                next_rw_id = int(rw_pdf["id"].max()) + 1
+            lake.mark_complete(int(b), {"epoch": int(epoch_id)})
+
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(transcripts_path)
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", lake.path("_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

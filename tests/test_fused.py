@@ -1,0 +1,36 @@
+"""Fused detect→encode→retrieve stage must equal the composed chain."""
+
+import numpy as np
+
+from incremental_entity_extraction_spark.operators.encode import encode_mentions_df
+from incremental_entity_extraction_spark.operators.fused import detect_encode_retrieve
+from incremental_entity_extraction_spark.operators.mentions import detect_mentions
+from incremental_entity_extraction_spark.operators.retrieval import (
+    build_kb_shards,
+    retrieve_topk,
+)
+
+
+def test_fused_equals_composed(spark, spark_world, cfg):
+    shards = build_kb_shards(spark_world["entities_kb"], n_shards=1)
+    fused = detect_encode_retrieve(
+        spark_world["transcripts"], cfg, shards
+    ).toPandas().sort_values("mention_id").reset_index(drop=True)
+    composed = retrieve_topk(
+        encode_mentions_df(detect_mentions(spark_world["transcripts"]), cfg),
+        cfg,
+        shards,
+    ).toPandas().sort_values("mention_id").reset_index(drop=True)
+
+    assert list(fused["mention_id"]) == list(composed["mention_id"])
+    assert list(fused["mention"]) == list(composed["mention"])
+    assert list(fused["context_left"]) == list(composed["context_left"])
+    for fe, ce in zip(fused["encoding"], composed["encoding"]):
+        np.testing.assert_array_equal(np.asarray(fe), np.asarray(ce))
+    for fc, cc in zip(fused["candidates"], composed["candidates"]):
+        assert [(c["id"], c["indexer"]) for c in fc] == [
+            (c["id"], c["indexer"]) for c in cc
+        ]
+        np.testing.assert_allclose(
+            [c["score"] for c in fc], [c["score"] for c in cc], rtol=1e-5
+        )

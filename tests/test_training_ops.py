@@ -1,0 +1,163 @@
+"""Training-data operators: dedup, similarity search, text analysis, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_entity_extraction_spark.operators import multimodal
+from incremental_entity_extraction_spark.operators.dedup import (
+    dedup_connected_groups,
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from incremental_entity_extraction_spark.operators.similarity_search import (
+    cosine_topk_broadcast,
+    cosine_topk_join,
+    ivf_topk,
+)
+from incremental_entity_extraction_spark.operators.text_analysis import (
+    analyze_documents,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog near the river bank",
+                "the quick brown fox jumps over the lazy dog near the river bank",
+                "the quick brown fox jumps over the lazy dog near the river edge",
+                "completely different content about spark shuffle partitions here",
+                "zz qq xx",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_text_analysis_columns(spark, docs):
+    out = analyze_documents(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 13
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[4, "lang_pred"] == "unknown"
+    assert 0.0 <= out.loc[0, "quality"] <= 1.0
+    assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]
+    assert out.loc[0, "fingerprint"] != out.loc[2, "fingerprint"]
+
+
+def test_exact_duplicates(spark, docs):
+    out = exact_duplicates(docs, "doc_id", "text").toPandas()
+    assert set(out["id"]) == {0, 1}
+    assert (out["canonical_id"] == 0).all()
+
+
+def test_ngram_jaccard(spark, docs):
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 1) in pairs          # identical
+    assert (0, 2) in pairs          # one word differs
+    assert not any(3 in p or 4 in p for p in pairs)
+    j01 = out.set_index(["id_a", "id_b"]).loc[(0, 1), "jaccard"]
+    assert abs(j01 - 1.0) < 1e-9
+
+
+def test_minhash_lsh(spark, docs):
+    sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_hashes=32)
+    out = minhash_lsh_pairs(sigs, bands=8, verify_threshold=0.5).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 1) in pairs
+    est01 = out.set_index(["id_a", "id_b"]).loc[(0, 1), "est_jaccard"]
+    assert est01 == 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash(spark, docs):
+    sigs = simhash_signatures(docs, "doc_id", "text")
+    pdf = sigs.toPandas().set_index("id")
+    assert pdf.loc[0, "simhash"] == pdf.loc[1, "simhash"]
+    out = simhash_near_pairs(sigs, max_hamming=8).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 1) in pairs
+
+
+def test_embedding_near_dup_and_groups(spark):
+    base = np.random.default_rng(3).standard_normal((20, 16)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    rows.append((100, base[0].tolist()))                       # exact dup of 0
+    rows.append((101, (base[1] * 1.001 + 0.0001).tolist()))    # near dup of 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.99)
+    got = pairs.toPandas()
+    ps = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 100) in ps and (1, 101) in ps
+    groups = dedup_connected_groups(pairs).toPandas()
+    gmap = dict(zip(groups["id"], groups["canonical_id"]))
+    assert gmap[100] == 0 and gmap[101] == 1
+
+
+def test_cosine_topk_broadcast_equals_join(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 10)
+    a = cosine_topk_broadcast(q, embeddings, k=5).toPandas()
+    b = cosine_topk_join(q, embeddings, k=5).toPandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert list(a["neighbor_id"]) == list(b["neighbor_id"])
+    np.testing.assert_allclose(a["cosine"], b["cosine"], rtol=1e-5)
+
+
+def test_ivf_recall_vs_exact(spark):
+    # clustered corpus (IVF's operating regime): 8 tight clusters in R^16
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 4
+    X = np.concatenate(
+        [c + rng.standard_normal((40, 16)).astype(np.float32) * 0.3 for c in centers]
+    )
+    corpus = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    q = corpus.filter(F.col("vec_id") % 16 == 0)
+    exact = cosine_topk_broadcast(q, corpus, k=10).toPandas()
+    approx = ivf_topk(q, corpus, k=10, n_centroids=8, n_probe=4).toPandas()
+    recall_sum, n = 0.0, 0
+    for qid, g in exact.groupby("query_id"):
+        e = set(g["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        recall_sum += len(e & a) / len(e)
+        n += 1
+    assert recall_sum / n >= 0.9
+
+
+def test_multimodal_features_and_frames(spark):
+    media = multimodal.make_media_fixture(spark, n=12)
+    feats = multimodal.extract_features(media).toPandas()
+    assert len(feats) == 12
+    assert all(len(f) == multimodal.FEATURE_DIM for f in feats["features"])
+    feats2 = multimodal.extract_features(media).toPandas()
+    a = {m: tuple(f) for m, f in zip(feats["media_id"], feats["features"])}
+    b = {m: tuple(f) for m, f in zip(feats2["media_id"], feats2["features"])}
+    assert a == b  # deterministic
+    frames = multimodal.sample_frames(media).toPandas()
+    assert (frames["frame_idx"] >= 0).all()
+    assert set(frames["media_id"]).issubset(set(media.filter("kind='video'").toPandas()["media_id"]))
+
+
+def test_multimodal_strict_decoder_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.strict_decoder(b"xx", "image")
