@@ -237,3 +237,66 @@ def summarize_clusters_df(
     return joined.groupBy("cluster_label").applyInPandas(
         _summarize, schema=CLUSTER_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# engines 3/4: 3-step clustering (M9) and TF-IDF feature clustering (M10)
+# --------------------------------------------------------------------------
+def cluster_three_step(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """M9 — per-batch applyInPandas running the 3-step kernel
+    (functions.cluster_math.three_step_cluster_labels) in canonical order;
+    label = mention_id of the cluster's root row."""
+    from incremental_entity_extraction_spark.functions.cluster_math import (
+        three_step_cluster_labels,
+    )
+
+    def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "turn_idx", "start_tok"]).reset_index(
+            drop=True
+        )
+        if len(pdf) == 0:
+            return pd.DataFrame({"mention_id": [], "cluster_label": []})
+        enc = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["encoding"]])
+        labels = three_step_cluster_labels(list(pdf["mention"]), enc)
+        return pd.DataFrame(
+            {
+                "mention_id": pdf["mention_id"],
+                "cluster_label": pdf["mention_id"].iloc[labels].to_numpy(),
+            }
+        )
+
+    return nil_df.select(
+        "batch_id", "conv_id", "turn_idx", "start_tok", "mention_id",
+        "mention", "encoding",
+    ).groupBy("batch_id").applyInPandas(_replay, schema=_LABEL_SCHEMA)
+
+
+def cluster_tfidf(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """M10 — per-batch applyInPandas running the blended char-bigram/context
+    TF-IDF kernel + greedy loop (threshold 0.984375,
+    pipeline/docker-compose.yml:91)."""
+    from incremental_entity_extraction_spark.functions.cluster_math import (
+        tfidf_cluster_labels,
+    )
+
+    def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "turn_idx", "start_tok"]).reset_index(
+            drop=True
+        )
+        if len(pdf) == 0:
+            return pd.DataFrame({"mention_id": [], "cluster_label": []})
+        contexts = (
+            pdf["context_left"].fillna("") + " " + pdf["context_right"].fillna("")
+        )
+        labels = tfidf_cluster_labels(list(pdf["mention"]), list(contexts))
+        return pd.DataFrame(
+            {
+                "mention_id": pdf["mention_id"],
+                "cluster_label": pdf["mention_id"].iloc[labels].to_numpy(),
+            }
+        )
+
+    return nil_df.select(
+        "batch_id", "conv_id", "turn_idx", "start_tok", "mention_id",
+        "mention", "context_left", "context_right",
+    ).groupBy("batch_id").applyInPandas(_replay, schema=_LABEL_SCHEMA)

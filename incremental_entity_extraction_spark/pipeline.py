@@ -42,6 +42,8 @@ from incremental_entity_extraction_spark.config import DEFAULT_CONFIG, PipelineC
 from incremental_entity_extraction_spark.operators.clustering import (
     cluster_cc,
     cluster_greedy_replay,
+    cluster_three_step,
+    cluster_tfidf,
     summarize_clusters_df,
 )
 from incremental_entity_extraction_spark.operators.fused import (
@@ -128,12 +130,21 @@ def run_batch(
 
     nil_df = nil_scored.filter(F.col("is_nil")).select(
         "mention_id", "conv_id", "turn_idx", "start_tok", "batch_id",
-        "mention", "encoding",
+        "mention", "context_left", "context_right", "encoding",
     )
     if cluster_mode == "greedy_replay":
         labels = cluster_greedy_replay(nil_df, cfg)
-    else:
+    elif cluster_mode == "three_step":
+        labels = cluster_three_step(nil_df, cfg)
+    elif cluster_mode == "tfidf":
+        labels = cluster_tfidf(nil_df, cfg)
+    elif cluster_mode == "cc":
         labels = cluster_cc(nil_df, cfg)
+    else:
+        raise ValueError(
+            f"unknown cluster_mode {cluster_mode!r}: "
+            "expected cc | greedy_replay | three_step | tfidf"
+        )
     # labels/clusters are small; checkpoint so the downstream actions
     # (3 table writes + triples) don't each replay the clustering chain
     labels = labels.localCheckpoint()
