@@ -1,0 +1,103 @@
+"""Property-based tests (SURVEY.md §5 item 4) — hypothesis over the kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from incremental_entity_extraction_spark.functions.cluster_math import (
+    greedy_cluster_labels,
+    single_link_labels,
+)
+from incremental_entity_extraction_spark.functions.featurizer import (
+    build_mention_window,
+    encode_token_lists,
+    tokenize,
+)
+from incremental_entity_extraction_spark.functions.string_metrics import (
+    damerau_levenshtein,
+)
+
+words = st.text(alphabet="abcdefgh", min_size=1, max_size=8)
+
+
+@given(st.lists(words, max_size=20), st.lists(words, min_size=1, max_size=4),
+       st.lists(words, max_size=20), st.integers(min_value=1, max_value=40))
+@settings(max_examples=60, deadline=None)
+def test_window_never_exceeds_budget_and_keeps_mention(left, mention, right, budget):
+    lt, m, rt = " ".join(left), " ".join(mention), " ".join(right)
+    toks, weights = build_mention_window(lt, m, rt, budget)
+    assert len(toks) == len(weights)
+    m_toks = tokenize(m)
+    # budget respected up to the mention length (mention may exceed budget)
+    assert len(toks) <= max(budget, len(m_toks))
+    # whole mention always kept, contiguously (reference trims context only)
+    assert " ".join(m_toks) in " ".join(toks)
+    # focus weights exactly on the mention tokens
+    assert sum(1 for w in weights if w != 1.0) == len(m_toks)
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=60, deadline=None)
+def test_tokenize_idempotent_and_lower(text):
+    toks = tokenize(text)
+    assert all(t == t.lower() for t in toks)
+    assert tokenize(" ".join(toks)) == toks
+
+
+@given(st.lists(st.lists(words, max_size=6), min_size=1, max_size=8))
+@settings(max_examples=40, deadline=None)
+def test_encode_norm_invariant(token_lists):
+    out = encode_token_lists(token_lists, dim=16, norm=10.0)
+    for row, toks in zip(out, token_lists):
+        n = np.linalg.norm(row)
+        assert (abs(n - 10.0) < 1e-2) or (n == 0.0 and not toks)
+
+
+@given(words, words)
+@settings(max_examples=80, deadline=None)
+def test_dl_metric_properties(a, b):
+    d = damerau_levenshtein(a, b)
+    assert d == damerau_levenshtein(b, a)          # symmetry
+    assert (d == 0) == (a == b)                    # identity
+    assert d <= max(len(a), len(b))                # upper bound
+
+
+@given(st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=100))
+@settings(max_examples=30, deadline=None)
+def test_greedy_singleton_free(n, seed):
+    """Every row ends up with a label of an actual row (a valid partition)."""
+    rng = np.random.default_rng(seed)
+    enc = rng.standard_normal((n, 8)).astype(np.float32) * 5
+    labels = greedy_cluster_labels(enc, threshold=20.0)
+    assert len(labels) == n
+    assert all(0 <= l < n for l in labels)
+    # label graph terminates: following labels reaches a fixed point
+    for i in range(n):
+        seen = set()
+        j = i
+        while j not in seen:
+            seen.add(j)
+            j = labels[j]
+
+
+@given(st.integers(min_value=2, max_value=10), st.integers(min_value=0, max_value=50))
+@settings(max_examples=30, deadline=None)
+def test_single_link_row_order_invariant(n, seed):
+    """CC/single-link is invariant to row permutation (greedy is not —
+    that's exactly why cc is the scale default)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.standard_normal((n, 4))
+    d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    labels = single_link_labels(d, 1.0)
+    perm = rng.permutation(n)
+    labels_p = single_link_labels(d[np.ix_(perm, perm)], 1.0)
+
+    def partition(lbls):
+        groups = {}
+        for i, l in enumerate(lbls):
+            groups.setdefault(l, set()).add(i)
+        return sorted(map(frozenset, groups.values()), key=sorted)
+
+    orig = partition(labels)
+    inv = [frozenset(int(perm[i]) for i in g) for g in partition(labels_p)]
+    assert sorted(map(sorted, orig)) == sorted(map(sorted, inv))
