@@ -231,6 +231,9 @@ def write_world(world: World, path: str) -> dict[str, str]:
         ("gold_mentions", world.gold_mentions),
     ]:
         p = os.path.join(path, f"{name}.parquet")
-        df.to_parquet(p, index=False)
+        # microsecond timestamps — Spark cannot read pandas' default NANOS
+        df.to_parquet(
+            p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
         out[name] = p
     return out

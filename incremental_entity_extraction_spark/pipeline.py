@@ -172,10 +172,16 @@ def run_incremental(
 ) -> list[dict]:
     """Loop over batch_id in ascending order, threading KB state through the
     lake; resumable via the lineage table."""
-    if partitions is None:
-        partitions = spark.sparkContext.defaultParallelism * 2
     done = lake.completed_batches() if resume else set()
     ro_shards = build_kb_shards(kb_ro, n_shards)
+    if partitions is None:
+        # size tasks to the data: ~2000 turns per task, bounded by the
+        # executor slots — tiny batches shouldn't schedule 2×cores tasks,
+        # huge ones shouldn't underfill the cluster
+        par = spark.sparkContext.defaultParallelism
+        n_turns = transcripts.count()
+        n_b = max(1, transcripts.select("batch_id").distinct().count())
+        partitions = int(min(par * 2, max(par // 2, n_turns / n_b / 2000, 1)))
 
     # rebuild RW state from the lake (resume) — completed batches only
     rw_df = lake.read(spark, "new_entities")

@@ -1,0 +1,57 @@
+"""spark-submit entry point for the incremental KG pipeline.
+
+Usage (north_rule deployment shape):
+
+    python tools/make_pyfiles_zip.py                      # build dist/iees.zip
+    spark-submit --master local[8] \
+        --py-files dist/iees.zip \
+        jobs/run_pipeline.py \
+        --transcripts /path/transcripts_parquet \
+        --kb /path/entities_parquet \
+        --lake /path/lake \
+        [--cluster-mode cc] [--n-shards 1] [--batches all]
+
+On a real cluster, swap --master for the cluster manager; everything else
+is identical (the lake maps onto Iceberg tables).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--transcripts", required=True)
+    p.add_argument("--kb", required=True)
+    p.add_argument("--lake", required=True)
+    p.add_argument("--cluster-mode", default="cc")
+    p.add_argument("--n-shards", type=int, default=1)
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("iees-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from incremental_entity_extraction_spark.pipeline import Lake, run_incremental
+
+    transcripts = spark.read.parquet(args.transcripts)
+    kb = spark.read.parquet(args.kb)
+    stats = run_incremental(
+        spark,
+        transcripts,
+        kb,
+        Lake(args.lake),
+        cluster_mode=args.cluster_mode,
+        n_shards=args.n_shards,
+        resume=not args.no_resume,
+    )
+    print(json.dumps({"completed_batches": stats}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
