@@ -162,9 +162,20 @@ def connected_components(
     return labels
 
 
-def cluster_cc(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """CC engine: (mention_id, cluster_label) for all NIL mentions."""
-    edges = nil_edges(nil_df, cfg)
+def cluster_cc(
+    nil_df: DataFrame, cfg: PipelineConfig, lsh_threshold: int = 200_000
+) -> DataFrame:
+    """CC engine: (mention_id, cluster_label) for all NIL mentions.
+
+    Above ``lsh_threshold`` rows the exact broadcast sweep (O(n²) scores,
+    O(n·dim) broadcast) stops fitting; switch to LSH-blocked candidate
+    generation (``nil_edges_lsh``) — bounded memory, slightly bounded recall.
+    """
+    n = nil_df.count()
+    if n > lsh_threshold:
+        edges = nil_edges_lsh(nil_df, cfg)
+    else:
+        edges = nil_edges(nil_df, cfg)
     return connected_components(nil_df.select("mention_id"), edges)
 
 
@@ -300,3 +311,105 @@ def cluster_tfidf(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "batch_id", "conv_id", "turn_idx", "start_tok", "mention_id",
         "mention", "context_left", "context_right",
     ).groupBy("batch_id").applyInPandas(_replay, schema=_LABEL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# scale hardening: LSH pre-blocking for giant NIL sets
+# --------------------------------------------------------------------------
+def nil_edges_lsh(
+    nil_df: DataFrame,
+    cfg: PipelineConfig,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 23,
+) -> DataFrame:
+    """Edge list via sign-projection LSH blocking — no broadcast of the NIL
+    matrix, no n² sweep.
+
+    Each of ``n_tables`` hash tables buckets vectors by the sign pattern of
+    ``n_planes`` random projections; candidate pairs are generated within
+    (batch_id, table, bucket) groups and verified exactly.  For the greedy
+    threshold's cosine regime (> 0.81), 6 planes × 8 tables collide a
+    qualifying pair with p ≈ 0.91+ (higher for tighter pairs), and the CC
+    transitive closure recovers most of the remainder — bounded-recall by
+    construction, used only when the exact broadcast sweep would not fit
+    (``cluster_cc`` auto-switches above ``lsh_threshold`` rows).
+    """
+    spark = nil_df.sparkSession
+    dim = cfg.dim
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, dim, n_planes)).astype(np.float32)
+    bc = spark.sparkContext.broadcast(planes)
+    th = float(cfg.greedy_threshold)
+
+    bucket_schema = T.StructType(
+        [
+            T.StructField("batch_id", T.IntegerType(), False),
+            T.StructField("table", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), False),
+            T.StructField("mention_id", T.StringType(), False),
+            T.StructField("encoding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def _bucket(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["encoding"]])
+            frames = []
+            for t_i in range(P.shape[0]):
+                signs = (X @ P[t_i]) > 0
+                buckets = signs @ (1 << np.arange(P.shape[2], dtype=np.int64))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "batch_id": pdf["batch_id"].to_numpy(),
+                            "table": t_i,
+                            "bucket": buckets,
+                            "mention_id": pdf["mention_id"].to_numpy(),
+                            "encoding": list(pdf["encoding"]),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    bucketed = nil_df.select("batch_id", "mention_id", "encoding").mapInPandas(
+        _bucket, schema=bucket_schema
+    )
+
+    edge_schema = T.StructType(
+        [
+            T.StructField("batch_id", T.IntegerType(), False),
+            T.StructField("src", T.StringType(), False),
+            T.StructField("dst", T.StringType(), False),
+        ]
+    )
+
+    def _verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"batch_id": [], "src": [], "dst": []})
+        X = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["encoding"]])
+        S = X @ X.T
+        ii, jj = np.where(np.triu(S > th, k=1))
+        ids = pdf["mention_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "batch_id": np.full(len(ii), key[0], dtype="int32"),
+                "src": ids[ii],
+                "dst": ids[jj],
+            }
+        )
+
+    return (
+        bucketed.groupBy("batch_id", "table", "bucket")
+        .applyInPandas(_verify, schema=edge_schema)
+        .distinct()
+    )
+
+
+def cluster_cc_lsh(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """CC over LSH-blocked edges (the giant-NIL-set path)."""
+    edges = nil_edges_lsh(nil_df, cfg)
+    return connected_components(nil_df.select("mention_id"), edges)
