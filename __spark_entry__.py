@@ -9,11 +9,18 @@ for every SQL-expressible query.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from incremental_entity_extraction_spark.entry_queries import (
+# make the package importable regardless of the driver's cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from incremental_entity_extraction_spark.entry_queries import (  # noqa: E402
     ORACLE_SQL,
     QUERIES,
     q28_kg_triples,
