@@ -980,6 +980,43 @@ def q33_kg_cluster_quality(spark, sf_dir):
     return pc.groupBy("nelements").agg(F.count("*").alias("n_clusters"))
 
 
+def q34_rerank_crossencoder(spark, sf_dir):
+    """M14 crossencoder-style rerank over the derived world (rows-only):
+    per batch, how often rerank keeps the bi-encoder's top-1."""
+    from incremental_entity_extraction_spark.entry_queries import (
+        KG_STOPWORDS as _KW,
+    )
+    from incremental_entity_extraction_spark.operators.fused import (
+        detect_encode_retrieve,
+    )
+    from incremental_entity_extraction_spark.operators.rerank import (
+        rerank_crossencoder,
+    )
+    from incremental_entity_extraction_spark.operators.retrieval import (
+        build_kb_shards,
+    )
+
+    transcripts, kb = build_kg_world(spark, sf_dir)
+    shards = build_kb_shards(kb, 1)
+    enriched = detect_encode_retrieve(transcripts, CFG, shards, known_words=_KW)
+    reranked = rerank_crossencoder(enriched, CFG)
+    joined = enriched.select(
+        "mention_id", "batch_id",
+        F.element_at("candidates", 1)["id"].alias("bi_top"),
+    ).join(
+        reranked.select(
+            "mention_id", F.element_at("candidates", 1)["id"].alias("cross_top")
+        ),
+        "mention_id",
+    )
+    return joined.groupBy("batch_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("bi_top") == F.col("cross_top"), 1).otherwise(0)).alias(
+            "n_top1_agree"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1017,6 +1054,7 @@ QUERIES = {
     "q31_kg_nil_rate": q31_kg_nil_rate,
     "q32_media_features": q32_media_features,
     "q33_kg_cluster_quality": q33_kg_cluster_quality,
+    "q34_rerank_crossencoder": q34_rerank_crossencoder,
 }
 
 ORACLE_SQL = {
