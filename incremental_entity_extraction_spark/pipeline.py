@@ -82,6 +82,15 @@ class Lake:
         p = self.path(table)
         if not os.path.exists(p):
             return None
+        # a run whose batches all produced 0 rows leaves a data-less
+        # directory; read.parquet would fail with UNABLE_TO_INFER_SCHEMA
+        has_data = any(
+            fn.endswith(".parquet")
+            for _, _, files in os.walk(p)
+            for fn in files
+        )
+        if not has_data:
+            return None
         return spark.read.parquet(p)
 
     # --- lineage (checkpoint markers), tiny JSON lines on the driver -----
