@@ -58,22 +58,31 @@ def cosine_topk_broadcast(
 
     def _topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Cm, ids = bc.value
+        tile = 2048  # cache-resident score tiles (see retrieval kernel note)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Q = _normalize(
                 np.stack([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
             )
-            S = Q @ Cm.T
             q_ids = pdf["id"].to_numpy(dtype=np.int64)
+            rows = np.arange(len(Q))[:, None]
+            parts_s, parts_i = [], []
+            for t0 in range(0, Cm.shape[0], tile):
+                S_t = Q @ Cm[t0 : t0 + tile].T
+                kk_t = min(k + 1, S_t.shape[1])  # +1 headroom for self-hit
+                idx_t = np.argpartition(-S_t, kk_t - 1, axis=1)[:, :kk_t]
+                parts_s.append(S_t[rows, idx_t])
+                parts_i.append(idx_t + t0)
+            S = np.concatenate(parts_s, axis=1)
+            gidx = np.concatenate(parts_i, axis=1)
+            nid_all = ids[gidx]
             if exclude_self:
-                for r, qid in enumerate(q_ids):
-                    S[r, ids == qid] = -np.inf
+                S[nid_all == q_ids[:, None]] = -np.inf
             kk = min(k, S.shape[1])
             idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-            rows = np.arange(len(Q))[:, None]
             sub = S[rows, idx]
-            nid = ids[idx]
+            nid = nid_all[rows, idx]
             order = np.lexsort((nid, -sub), axis=1)
             out_rows = []
             for r in range(len(Q)):
