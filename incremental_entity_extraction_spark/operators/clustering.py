@@ -413,3 +413,83 @@ def cluster_cc_lsh(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """CC over LSH-blocked edges (the giant-NIL-set path)."""
     edges = nil_edges_lsh(nil_df, cfg)
     return connected_components(nil_df.select("mention_id"), edges)
+
+
+# --------------------------------------------------------------------------
+# alternative CC: large-star / small-star (O(log n) rounds)
+# --------------------------------------------------------------------------
+def _star_pass(e: DataFrame, large: bool) -> DataFrame:
+    """One large-star (connect strictly-greater neighbors to the
+    neighborhood minimum) or small-star (connect smaller-or-equal neighbors
+    and self to the minimum) pass over an undirected edge set stored as
+    both-direction pairs."""
+    m = e.groupBy("src").agg(F.min("dst").alias("mv"))
+    m = m.select("src", F.least(F.col("mv"), F.col("src")).alias("m"))
+    joined = e.join(m, "src")
+    if large:
+        out = joined.filter(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("a"), F.col("m").alias("b")
+        )
+        # keep each node attached to its min so components never fragment
+        out = out.union(m.select(F.col("src").alias("a"), F.col("m").alias("b")))
+    else:
+        out = joined.filter(F.col("dst") <= F.col("src")).select(
+            F.col("dst").alias("a"), F.col("m").alias("b")
+        ).union(m.select(F.col("src").alias("a"), F.col("m").alias("b")))
+    out = out.filter(F.col("a") != F.col("b"))
+    return (
+        out.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(out.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star passes
+    (semantics of Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14).  Converges in O(log n) rounds regardless of graph
+    diameter — the right choice for chain-shaped near-dup graphs, whereas
+    min-label propagation (``connected_components``) needs O(diameter)
+    rounds.  String vertex ids compare lexicographically.
+
+    Returns (mention_id, cluster_label), label = min component member.
+    """
+    e = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _star_pass(e, large=True).localCheckpoint()
+        e = _star_pass(e, large=False).localCheckpoint()
+        # converged when the per-node minimum assignment stops changing
+        sig = (
+            e.groupBy("src").agg(F.min("dst").alias("mv"))
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(src, mv))").alias("h"),  # overflow-safe
+            )
+            .first()
+        )
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+    labels = e.groupBy("src").agg(F.min("dst").alias("mv"))
+    labels = labels.select(
+        F.col("src").alias("mention_id"),
+        F.least(F.col("mv"), F.col("src")).alias("cluster_label"),
+    )
+    return (
+        vertices.select("mention_id")
+        .join(labels, "mention_id", "left")
+        .select(
+            "mention_id",
+            F.coalesce("cluster_label", "mention_id").alias("cluster_label"),
+        )
+    )

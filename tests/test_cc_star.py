@@ -1,0 +1,49 @@
+"""Large-star/small-star CC equals min-label-propagation CC."""
+
+import numpy as np
+import pytest
+
+from incremental_entity_extraction_spark.operators.clustering import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _partition(pdf):
+    groups = {}
+    for m, l in zip(pdf["mention_id"], pdf["cluster_label"]):
+        groups.setdefault(l, set()).add(m)
+    return sorted(map(sorted, groups.values()))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_star_cc_equals_label_propagation(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 40
+    vertices = spark.createDataFrame(
+        [(f"v{i:03d}",) for i in range(n)], "mention_id string"
+    )
+    edges = [
+        (f"v{int(a):03d}", f"v{int(b):03d}")
+        for a, b in rng.integers(0, n, size=(30, 2))
+        if a != b
+    ]
+    edf = spark.createDataFrame(edges or [("v000", "v001")], "src string, dst string")
+    p1 = _partition(connected_components(vertices, edf).toPandas())
+    p2 = _partition(connected_components_star(vertices, edf).toPandas())
+    assert p1 == p2
+
+
+def test_star_cc_long_chain(spark):
+    """A path graph (worst case for label propagation) — star CC must still
+    produce one component with the min label."""
+    n = 30
+    vertices = spark.createDataFrame(
+        [(f"v{i:03d}",) for i in range(n)], "mention_id string"
+    )
+    edges = spark.createDataFrame(
+        [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(n - 1)],
+        "src string, dst string",
+    )
+    out = connected_components_star(vertices, edges).toPandas()
+    assert set(out["cluster_label"]) == {"v000"}
