@@ -1017,6 +1017,58 @@ def q34_rerank_crossencoder(spark, sf_dir):
     )
 
 
+def q35_sessionize_events(spark, sf_dir):
+    """Sessionization: lag + cumulative-sum windows over the event stream
+    (new session after a 30-minute silence) — the canonical transcript/
+    activity analytics pattern."""
+    e = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: cast via timestamp to epoch seconds (session tz=UTC)
+    tsec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = tsec - F.lag(tsec).over(w)
+    sess = (
+        e.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_idx", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.max(F.col("ts").cast("timestamp").cast("long"))
+            - F.min(F.col("ts").cast("timestamp").cast("long"))
+        ).alias("duration_s"),
+    ).groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("duration_s").cast("long").alias("max_session_s"),
+    )
+
+
+def q35_sql():
+    return """
+        WITH g AS (
+          SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS tsec,
+                 cast(floor(epoch(ts)) AS bigint) - lag(cast(floor(epoch(ts)) AS bigint)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events
+        ), s AS (
+          SELECT user_id, event_id, tsec,
+                 sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM g
+        ), per_session AS (
+          SELECT user_id, session_idx, count(*) AS n_events,
+                 max(tsec) - min(tsec) AS duration_s
+          FROM s GROUP BY user_id, session_idx
+        )
+        SELECT user_id, count(*) AS n_sessions,
+               cast(sum(n_events) AS bigint) AS n_events,
+               cast(max(duration_s) AS bigint) AS max_session_s
+        FROM per_session GROUP BY user_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1055,6 +1107,7 @@ QUERIES = {
     "q32_media_features": q32_media_features,
     "q33_kg_cluster_quality": q33_kg_cluster_quality,
     "q34_rerank_crossencoder": q34_rerank_crossencoder,
+    "q35_sessionize_events": q35_sessionize_events,
 }
 
 ORACLE_SQL = {
@@ -1082,4 +1135,5 @@ ORACLE_SQL = {
     "q24_emb_neardup_brute": q24_sql(),
     "q26_kg_transcripts": q26_sql(),
     "q27_kg_mention_tokens": q27_sql(),
+    "q35_sessionize_events": q35_sql(),
 }
