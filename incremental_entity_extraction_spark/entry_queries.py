@@ -455,6 +455,9 @@ def q15_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
         d.withColumn("n_tokens", token_count("text"))
+        # zero-token docs are excluded in BOTH engines (the oracle's token
+        # CTE inner-join drops them implicitly; we drop them explicitly)
+        .filter(F.col("n_tokens") > 0)
         .withColumn("awl", avg_word_len("text"))
         .withColumn("pr", punct_ratio("text"))
         .groupBy("source")
@@ -490,10 +493,17 @@ def q15_sql():
 
 def q16_fingerprint(spark, sf_dir):
     """Rolling document fingerprint (position-weighted token hash)."""
-    from incremental_entity_extraction_spark.operators.text_analysis import fingerprint
+    from incremental_entity_extraction_spark.operators.text_analysis import (
+        fingerprint,
+        token_count,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint("text").alias("fp"))
+    # zero-token docs have no fingerprint in either engine (oracle GROUP BY
+    # over the token CTE drops them; mirror it explicitly)
+    return d.filter(token_count("text") > 0).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
 
 
 def q16_sql():
@@ -582,9 +592,12 @@ def q19_sql():
                              x -> length(x) > 0) AS ts
           FROM documents WHERE doc_id < 300
         ), sh AS (
-          SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
+          -- ts[i:i+1] mirrors Spark's short-tail slice: a 1-token doc yields
+          -- its 1-token shingle in both engines (ADVICE r1 edge-case parity)
+          SELECT DISTINCT doc_id, array_to_string(ts[i:i+1], ' ') AS shingle
           FROM toks, LATERAL (
             SELECT unnest(generate_series(1, greatest(len(ts) - 1, 1))) AS i) g
+          WHERE len(ts) > 0
         ), sizes AS (
           SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
         ), inter AS (
@@ -871,23 +884,22 @@ def build_kg_world(spark, sf_dir):
     )
     from incremental_entity_extraction_spark.operators.mentions import detect_mentions
 
+    from incremental_entity_extraction_spark.operators.kb import contiguous_ids
+
     transcripts = derive_transcripts(spark, sf_dir).drop("doc_id").localCheckpoint()
     surfaces = (
         detect_mentions(transcripts, known_words=KG_STOPWORDS)
         .groupBy("mention")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= KB_MIN_COUNT)
-        .orderBy("mention")
     )
-    ents = surfaces.select(
-        F.row_number()
-        .over(Window.orderBy("mention"))
-        .cast("long")
-        .alias("id"),
+    # contiguous ids by surface order WITHOUT an unpartitioned window (the
+    # entity dimension is the one table here that grows with the corpus)
+    with_ids = contiguous_ids(surfaces, ["mention"], id_col="id", start=1)
+    ents = with_ids.select(
+        F.col("id"),
         F.lit(CFG.ro_indexer_id).cast("int").alias("indexer"),
-        (
-            F.row_number().over(Window.orderBy("mention")) + 1000
-        ).cast("long").alias("wikipedia_id"),
+        (F.col("id") + 1000).cast("long").alias("wikipedia_id"),
         F.col("mention").alias("title"),
         F.concat(F.lit("derived entity "), F.col("mention")).alias("descr"),
         F.lit("derived").alias("type_"),
@@ -1024,7 +1036,10 @@ def q35_sessionize_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     # ts is TIMESTAMP_NTZ: cast via timestamp to epoch seconds (session tz=UTC)
     tsec = F.col("ts").cast("timestamp").cast("long")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # order by the SAME key as the oracle — truncated seconds + event_id.
+    # Ordering by full-precision ts here while the oracle orders by tsec
+    # diverges on same-second ties near a session boundary.
+    w = Window.partitionBy("user_id").orderBy(tsec, F.col("event_id"))
     gap = tsec - F.lag(tsec).over(w)
     sess = (
         e.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
@@ -1049,7 +1064,8 @@ def q35_sql():
         WITH g AS (
           SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS tsec,
                  cast(floor(epoch(ts)) AS bigint) - lag(cast(floor(epoch(ts)) AS bigint)) OVER
-                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                   (PARTITION BY user_id
+                    ORDER BY cast(floor(epoch(ts)) AS bigint), event_id) AS gap
           FROM events
         ), s AS (
           SELECT user_id, event_id, tsec,
@@ -1067,6 +1083,39 @@ def q35_sql():
                cast(max(duration_s) AS bigint) AS max_session_s
         FROM per_session GROUP BY user_id
     """
+
+
+def q36_nil_train(spark, sf_dir):
+    """NIL-model training (reference feature_ablation_study.py:365-426):
+    distributed scaler + IRLS logistic fit over the pipeline's own mention
+    features (rows-only; an iterative ML fit is not SQL-expressible).
+
+    Labels are the pipeline's NIL decisions with a deterministic 10% flip
+    (xxhash64-keyed) so the classes are not linearly separable and the fit
+    converges to finite weights."""
+    import pandas as pd
+
+    from incremental_entity_extraction_spark.operators.nil_training import (
+        fit_nil_model,
+    )
+
+    lake, _ = run_kg_pipeline(spark, sf_dir)
+    m = spark.read.parquet(lake.path("mentions"))
+    flip = F.pmod(F.xxhash64("mention_id"), F.lit(10)) == 0
+    feats = m.withColumn("label", (~F.col("is_nil")) != flip)
+    model = fit_nil_model(feats, label_col="label")
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_rows": int(model.n_rows),
+                    "converged": bool(model.converged),
+                    "w_max_bi_positive": bool(model.weights[0] > 0),
+                    "bias_finite": bool(abs(model.bias) < 100),
+                }
+            ]
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1108,6 +1157,7 @@ QUERIES = {
     "q33_kg_cluster_quality": q33_kg_cluster_quality,
     "q34_rerank_crossencoder": q34_rerank_crossencoder,
     "q35_sessionize_events": q35_sessionize_events,
+    "q36_nil_train": q36_nil_train,
 }
 
 ORACLE_SQL = {

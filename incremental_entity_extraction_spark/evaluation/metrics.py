@@ -255,12 +255,17 @@ def coref_metrics_per_batch(assignments: DataFrame) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 # E6 — overall accuracy decomposition (eval_kbp.py:663-718)
 # --------------------------------------------------------------------------
-def overall_accuracy(with_gold: DataFrame) -> DataFrame:
+def overall_accuracy(
+    with_gold: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
     """Per batch: fraction correct, decomposed into
     (a) to-link mentions linked to the right KB entity,
     (b) should-be-NIL mentions predicted NIL,
     (c) gold-NIL mentions linked to a previously-added RW entity
         (counted correct — the incremental loop working as intended)."""
+    from incremental_entity_extraction_spark.config import DEFAULT_CONFIG
+
+    rw_indexer = (cfg or DEFAULT_CONFIG).rw_indexer_id
     df = with_gold.withColumn(
         "cat",
         F.when(
@@ -271,7 +276,9 @@ def overall_accuracy(with_gold: DataFrame) -> DataFrame:
         )
         .when(F.col("gold_nil") & F.col("is_nil"), F.lit("nil_correct"))
         .when(
-            F.col("gold_nil") & (~F.col("is_nil")) & (F.col("top_indexer") == 20),
+            F.col("gold_nil")
+            & (~F.col("is_nil"))
+            & (F.col("top_indexer") == F.lit(rw_indexer)),
             F.lit("linked_prev_added"),
         )
         .otherwise(F.lit("wrong")),

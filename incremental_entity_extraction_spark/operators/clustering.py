@@ -130,9 +130,13 @@ def connected_components(
     assumed symmetric-able (we union both directions).  Returns
     (mention_id, cluster_label) where label = min member mention_id.
 
-    Iterations are join+groupBy (2 shuffles each); ``localCheckpoint``
-    truncates lineage so 50 iterations don't blow up the plan (SURVEY.md §4).
-    """
+    Needs O(graph diameter) rounds — kept as the simple fallback; the
+    default engine everywhere is ``connected_components_star`` (O(log n)
+    rounds).  Convergence is detected with a one-job label-set signature
+    (count + bit_xor of per-row hashes) instead of a join against the
+    previous labels; ``localCheckpoint`` truncates lineage per iteration
+    (SURVEY.md §4).  Raises on non-convergence rather than silently
+    returning partially-propagated labels."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -140,6 +144,8 @@ def connected_components(
         F.col("mention_id"), F.col("mention_id").alias("cluster_label")
     ).localCheckpoint()
     sym = sym.localCheckpoint()
+    prev_sig = None
+    converged = False
     for _ in range(max_iter):
         msgs = (
             sym.join(labels, sym.src == labels.mention_id, "inner")
@@ -148,35 +154,48 @@ def connected_components(
             .groupBy("mention_id")
             .agg(F.min("cluster_label").alias("cluster_label"))
         )
-        new_labels = msgs.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "mention_id")
-            .filter(F.col("n.cluster_label") != F.col("o.cluster_label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = msgs.localCheckpoint()
+        sig_row = labels.agg(
+            F.count("*").alias("n"),
+            # bit_xor, not sum: Spark 4 ANSI mode overflows summed hashes
+            F.expr("bit_xor(xxhash64(mention_id, cluster_label))").alias("h"),
+        ).first()
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            converged = True
             break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter > max_iter?) — use connected_components_star, "
+            "which converges in O(log n) rounds regardless of diameter"
+        )
     return labels
 
 
 def cluster_cc(
-    nil_df: DataFrame, cfg: PipelineConfig, lsh_threshold: int = 200_000
+    nil_df: DataFrame,
+    cfg: PipelineConfig,
+    lsh_threshold: int = 200_000,
+    cc_backend: str = "star",
 ) -> DataFrame:
     """CC engine: (mention_id, cluster_label) for all NIL mentions.
 
     Above ``lsh_threshold`` rows the exact broadcast sweep (O(n²) scores,
     O(n·dim) broadcast) stops fitting; switch to LSH-blocked candidate
     generation (``nil_edges_lsh``) — bounded memory, slightly bounded recall.
-    """
+
+    ``cc_backend``: 'star' (default — large-star/small-star, O(log n) rounds
+    regardless of component diameter) or 'propagation' (min-label, O(diameter)
+    rounds; kept for cross-checking).  Both emit label = min member id."""
     n = nil_df.count()
     if n > lsh_threshold:
         edges = nil_edges_lsh(nil_df, cfg)
     else:
         edges = nil_edges(nil_df, cfg)
-    return connected_components(nil_df.select("mention_id"), edges)
+    cc = connected_components_star if cc_backend == "star" else connected_components
+    return cc(nil_df.select("mention_id"), edges)
 
 
 # --------------------------------------------------------------------------
@@ -412,7 +431,7 @@ def nil_edges_lsh(
 def cluster_cc_lsh(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """CC over LSH-blocked edges (the giant-NIL-set path)."""
     edges = nil_edges_lsh(nil_df, cfg)
-    return connected_components(nil_df.select("mention_id"), edges)
+    return connected_components_star(nil_df.select("mention_id"), edges)
 
 
 # --------------------------------------------------------------------------

@@ -51,28 +51,49 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # word n-gram Jaccard via shingle inverted index
 # --------------------------------------------------------------------------
 def _shingles(text_col: str, n: int):
+    """Distinct word n-gram shingles; docs shorter than n tokens yield their
+    short-tail shingle, zero-token docs yield none (the empty-string shingle
+    is filtered — it must not bucket all empty docs together)."""
     toks = tokens_col(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
-        F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        F.filter(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            lambda s: F.length(s) > 0,
         )
     )
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for distinct-shingle Jaccard >= threshold.
 
     Inverted index: explode shingles, self-join on shingle (documents that
     share no shingle never meet), count shared shingles, then
-    J = |∩| / (|A| + |B| - |∩|).  Skew note: stop-shingles (shared by a huge
-    number of docs) quadratically blow up the join — at scale, drop shingles
-    with document frequency above a cap first (df_cap)."""
+    J = |∩| / (|A| + |B| - |∩|).
+
+    Skew: a stop-shingle shared by d documents creates d² join rows.  At
+    scale set ``df_cap``: shingles with document frequency >= df_cap are
+    dropped from the index BEFORE the self-join *and* from the per-doc
+    shingle sizes, i.e. Jaccard is computed over the capped shingle universe
+    (the standard stop-shingle approximation — near-dup pairs share mostly
+    rare shingles, so recall loss is negligible while the join cost drops
+    from O(d²) per hot shingle to zero).  Default None = exact (the
+    SQL-oracle-checked path, q19)."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("shingle")
     )
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = sh.join(
+            freq.filter(F.col("_df") < df_cap).select("shingle"), "shingle"
+        )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -351,10 +372,16 @@ def embedding_near_dup_pairs(
 
 
 def dedup_connected_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
-    """Collapse near-dup pairs into groups: (id, canonical_id) via the same
-    min-label CC used for NIL clustering."""
+    """Collapse near-dup pairs into groups: (id, canonical_id) via
+    large-star/small-star CC (O(log n) rounds regardless of diameter —
+    near-dup graphs are often chain-shaped, where min-label propagation
+    needs O(diameter) rounds).
+
+    Caveat: string labels compare lexicographically, so canonical_id is the
+    lexicographic (not numeric) min member — stable and deterministic, which
+    is all dedup needs."""
     from incremental_entity_extraction_spark.operators.clustering import (
-        connected_components,
+        connected_components_star,
     )
 
     edges = pairs.select(
@@ -365,7 +392,7 @@ def dedup_connected_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id
         .union(edges.select("dst"))
         .distinct()
     )
-    out = connected_components(vertices, edges)
+    out = connected_components_star(vertices, edges)
     return out.select(
         F.col("mention_id").cast("long").alias("id"),
         F.col("cluster_label").cast("long").alias("canonical_id"),

@@ -34,6 +34,56 @@ def assign_new_entity_ids(
     ).withColumn("index_indexer", F.lit(cfg.rw_indexer_id))
 
 
+def contiguous_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "id",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global contiguous ids in ``order_cols`` order WITHOUT a
+    single-partition window (``Window.orderBy`` with no partition serializes
+    the whole table onto one task).
+
+    Two-level rank: ``repartitionByRange`` gives ordered, disjoint key ranges
+    per partition id; a per-partition ``row_number`` plus the cumulative
+    partition-count offsets (a tiny, collected map — one entry per partition)
+    yields the global rank.  Scales with partitions; the only driver-side
+    state is O(num_partitions).
+
+    ``order_cols`` must be a unique key — equal keys all land in one range
+    partition, but their relative row_number order would be nondeterministic.
+    The input is localCheckpoint'ed so the count pass and the output pass see
+    the same partitioning."""
+    spark = df.sparkSession
+    np_ = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(np_, *[F.asc(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        int(r["_pid"]): int(r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    entries: list = []
+    acc = start
+    for pid in sorted(counts):
+        entries.extend([F.lit(pid), F.lit(acc)])
+        acc += counts[pid]
+    if not entries:
+        return ranged.drop("_pid").withColumn(id_col, F.lit(None).cast("long"))
+    omap = F.create_map(*entries)
+    w = Window.partitionBy("_pid").orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        ranged.withColumn(
+            id_col,
+            (omap[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
 def new_entity_rows(clusters_with_ids: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Cluster summaries -> rows for the ``new_entities`` lake table
     (schema matches the entities dimension: id, indexer, wikipedia_id,

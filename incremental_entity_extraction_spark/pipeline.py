@@ -32,10 +32,11 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from incremental_entity_extraction_spark.config import DEFAULT_CONFIG, PipelineConfig
@@ -75,7 +76,15 @@ class Lake:
         return os.path.join(self.root, table)
 
     def write_partition(self, df: DataFrame, table: str) -> None:
-        """Idempotent: dynamic overwrite of only the batch_id partitions in df."""
+        """Idempotent: dynamic overwrite of only the batch_id partitions in df.
+
+        The dynamic mode is asserted here (it is a runtime-settable conf)
+        rather than trusted from session setup: under Spark's default STATIC
+        mode every per-batch write would truncate the whole table, silently
+        leaving only the last batch and corrupting resume."""
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
         df.write.mode("overwrite").partitionBy("batch_id").parquet(self.path(table))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
@@ -167,6 +176,63 @@ def run_batch(
     return nil_scored, clusters_with_ids, new_entities, triples
 
 
+def persist_batch(
+    lake: Lake,
+    nil_scored: DataFrame,
+    clusters_with_ids: DataFrame,
+    new_entities: DataFrame,
+    triples: DataFrame,
+    persist_candidates: bool = False,
+) -> tuple[pd.DataFrame, dict]:
+    """Persist one batch's lake tables and collect the RW-state delta, with
+    all independent jobs submitted concurrently.
+
+    The inputs are ``localCheckpoint``-ed in ``run_batch``, so the jobs share
+    no recomputation; a thread pool overlaps their fixed per-job scheduling
+    cost (the dominant term for small batches).  Mention/NIL stats ride the
+    mentions write via ``Observation`` instead of a separate aggregation job.
+
+    The wide ``candidates array<struct>`` column is NOT persisted in
+    ``mentions`` — it dominates bytes at scale and is recomputable; pass
+    ``persist_candidates=True`` to emit it as a separate ``candidates``
+    table when an eval workflow needs the full lists
+    (evaluation/metrics.linking_recall_at_k)."""
+    obs = Observation()
+    mentions_out = nil_scored.drop("encoding", "candidates").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.sum(F.when(F.col("is_nil"), 1).otherwise(0)).alias("n_nil"),
+    )
+    jobs: list[tuple[DataFrame, str]] = [
+        (mentions_out, "mentions"),
+        (triples, "triples"),
+        (new_entities, "new_entities"),
+        (
+            clusters_with_ids.select(
+                "cluster_label", "title", "nelements", "mentions_id", "mentions",
+                "index_id", "index_indexer", "batch_id",
+            ),
+            "prev_clusters",
+        ),
+    ]
+    if persist_candidates:
+        jobs.append(
+            (nil_scored.select("mention_id", "candidates", "batch_id"), "candidates")
+        )
+    with ThreadPoolExecutor(max_workers=len(jobs) + 1) as ex:
+        futs = [ex.submit(lake.write_partition, df, t) for df, t in jobs]
+        fut_pdf = ex.submit(new_entities.drop("batch_id").toPandas)
+        for f in futs:
+            f.result()
+        add_pdf = fut_pdf.result()
+    got = obs.get
+    stats = {
+        "n_mentions": int(got["n_mentions"]),
+        "n_nil": int(got["n_nil"] or 0),
+    }
+    return add_pdf, stats
+
+
 def run_incremental(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -178,10 +244,23 @@ def run_incremental(
     resume: bool = True,
     partitions: int | None = None,
     known_words: frozenset | None = None,
+    persist_candidates: bool = False,
+    deleted_entity_ids: set[int] | None = None,
 ) -> list[dict]:
     """Loop over batch_id in ascending order, threading KB state through the
-    lake; resumable via the lineage table."""
-    done = lake.completed_batches() if resume else set()
+    lake; resumable via the lineage table.
+
+    ``deleted_entity_ids`` are KB tombstones: the reference indexer returns
+    dummy score=-1000 candidates when an entity's vector outlives its
+    metadata (pipeline/indexer/main.py:121-135) and eval drops them
+    (scripts/eval_kbp.py:242-279); here metadata rides the vector, so a
+    delete removes the row from every shard before broadcast — deleted
+    entities can never be retrieved, the same net semantics without the
+    sentinel round-trip.  Deleted RW ids are never reassigned (``next_rw_id``
+    is computed before the tombstone filter)."""
+    dels = sorted(int(i) for i in deleted_entity_ids) if deleted_entity_ids else []
+    if dels:
+        kb_ro = kb_ro.filter(~F.col("id").isin(dels))
     ro_shards = build_kb_shards(kb_ro, n_shards)
     if partitions is None:
         # size tasks to the data: ~2000 turns per task, bounded by the
@@ -192,7 +271,25 @@ def run_incremental(
         n_b = max(1, transcripts.select("batch_id").distinct().count())
         partitions = int(min(par * 2, max(par // 2, n_turns / n_b / 2000, 1)))
 
-    # rebuild RW state from the lake (resume) — completed batches only
+    batch_ids = [
+        r["batch_id"]
+        for r in transcripts.select("batch_id").distinct().orderBy("batch_id").collect()
+    ]
+    # incremental contract: batch N+1's output depends on batch N's RW state,
+    # so only the longest completed PREFIX of the batch order counts as done —
+    # a gap in the lineage (mid-run corruption, manual partition delete)
+    # invalidates every later batch, which is then re-run; dynamic partition
+    # overwrite makes the re-runs byte-identical replacements.
+    done: set = set()
+    if resume:
+        completed = lake.completed_batches()
+        for b in batch_ids:
+            if b in completed:
+                done.add(b)
+            else:
+                break
+
+    # rebuild RW state from the lake (resume) — completed prefix only
     rw_df = lake.read(spark, "new_entities")
     if rw_df is not None and done:
         rw_pdf = rw_df.filter(F.col("batch_id").isin([int(b) for b in done])).drop(
@@ -203,11 +300,9 @@ def run_incremental(
             columns=["id", "indexer", "wikipedia_id", "title", "descr", "type_", "embedding"]
         )
     next_rw_id = int(rw_pdf["id"].max()) + 1 if len(rw_pdf) else 0
+    if dels and len(rw_pdf):
+        rw_pdf = rw_pdf[~rw_pdf["id"].isin(dels)].reset_index(drop=True)
 
-    batch_ids = [
-        r["batch_id"]
-        for r in transcripts.select("batch_id").distinct().orderBy("batch_id").collect()
-    ]
     stats_rows = []
     for b in batch_ids:
         if b in done:
@@ -221,19 +316,12 @@ def run_incremental(
         )
         # S7 analogue: persist the enriched mention table per batch
         # (reference pickles outdata per batch, eval_kbp.py:654-658);
-        # encodings are dropped — they are recomputable and dominate bytes.
-        lake.write_partition(nil_scored.drop("encoding"), "mentions")
-        lake.write_partition(triples, "triples")
-        lake.write_partition(new_entities, "new_entities")
-        lake.write_partition(
-            clusters_with_ids.select(
-                "cluster_label", "title", "nelements", "mentions_id", "mentions",
-                "index_id", "index_indexer", "batch_id",
-            ),
-            "prev_clusters",
+        # encodings/candidates are dropped — recomputable and dominate bytes.
+        add_pdf, counts = persist_batch(
+            lake, nil_scored, clusters_with_ids, new_entities, triples,
+            persist_candidates,
         )
         # thread RW state forward (small dimension delta)
-        add_pdf = new_entities.drop("batch_id").toPandas()
         if len(add_pdf):
             rw_pdf = (
                 pd.concat([rw_pdf, add_pdf], ignore_index=True)
@@ -241,13 +329,8 @@ def run_incremental(
                 else add_pdf
             )
             next_rw_id = int(rw_pdf["id"].max()) + 1
-        counts = nil_scored.agg(
-            F.count("*").alias("n_mentions"),
-            F.sum(F.when(F.col("is_nil"), 1).otherwise(0)).alias("n_nil"),
-        ).first()
         stats = {
-            "n_mentions": int(counts["n_mentions"]),
-            "n_nil": int(counts["n_nil"] or 0),
+            **counts,
             "n_clusters": int(len(add_pdf)),
             "wall_s": round(time.time() - t0, 3),
         }

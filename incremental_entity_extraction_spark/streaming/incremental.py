@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from incremental_entity_extraction_spark.config import DEFAULT_CONFIG, PipelineConfig
 from incremental_entity_extraction_spark.operators.retrieval import build_kb_shards
-from incremental_entity_extraction_spark.pipeline import Lake, run_batch
+from incremental_entity_extraction_spark.pipeline import Lake, persist_batch, run_batch
 
 TRANSCRIPT_DDL = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
@@ -40,6 +40,7 @@ def run_streaming_incremental(
     known_words: frozenset | None = None,
     max_files_per_trigger: int | None = None,
     n_shards: int = 1,
+    persist_candidates: bool = False,
 ) -> None:
     """Consume a transcript parquet directory as a stream; emit lake tables.
 
@@ -78,17 +79,10 @@ def run_streaming_incremental(
             nil_scored, clusters_with_ids, new_entities, triples = run_batch(
                 tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words
             )
-            lake.write_partition(nil_scored.drop("encoding"), "mentions")
-            lake.write_partition(triples, "triples")
-            lake.write_partition(new_entities, "new_entities")
-            lake.write_partition(
-                clusters_with_ids.select(
-                    "cluster_label", "title", "nelements", "mentions_id",
-                    "mentions", "index_id", "index_indexer", "batch_id",
-                ),
-                "prev_clusters",
+            add_pdf, _counts = persist_batch(
+                lake, nil_scored, clusters_with_ids, new_entities, triples,
+                persist_candidates,
             )
-            add_pdf = new_entities.drop("batch_id").toPandas()
             if len(add_pdf):
                 rw_pdf = (
                     pd.concat([rw_pdf, add_pdf], ignore_index=True)

@@ -2,7 +2,9 @@
 
 Usage (north_rule deployment shape):
 
-    python tools/make_pyfiles_zip.py                      # build dist/iees.zip
+    python tools/make_pyfiles_zip.py   # build dist/iees.zip fresh from HEAD
+                                       # (never committed — always rebuild,
+                                       # a stale zip ships stale code)
     spark-submit --master local[8] \
         --py-files dist/iees.zip \
         jobs/run_pipeline.py \

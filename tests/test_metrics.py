@@ -88,12 +88,18 @@ def fixture_eval(spark, spark_world, world, cfg, tmp_path_factory):
     lake = Lake(str(tmp_path_factory.mktemp("metrics_lake")))
     run_incremental(
         spark, spark_world["transcripts"], spark_world["entities_kb"], lake, cfg,
-        cluster_mode="greedy_replay",
+        cluster_mode="greedy_replay", persist_candidates=True,
     )
     gold = spark.createDataFrame(world.gold_mentions)
     # eval consumes the persisted enriched mention table (the reference
-    # evaluates the per-batch pickled outdata the same way)
-    nil_scored = spark.read.parquet(lake.path("mentions"))
+    # evaluates the per-batch pickled outdata the same way); the full
+    # candidate lists live in the opt-in `candidates` table
+    nil_scored = spark.read.parquet(lake.path("mentions")).join(
+        spark.read.parquet(lake.path("candidates")).select(
+            "mention_id", "candidates"
+        ),
+        "mention_id",
+    )
     return join_gold(nil_scored, gold).localCheckpoint(), lake
 
 
@@ -120,6 +126,22 @@ def test_overall_accuracy_on_fixture(fixture_eval):
     assert (out["overall_accuracy"] >= 0.95).all()
     # incremental credit shows up after batch 0
     assert out[out.batch_id > 0]["linked_prev_added"].sum() > 0
+
+
+def test_overall_accuracy_respects_rw_indexer_config(fixture_eval, cfg):
+    """The linked-to-discovered category must follow cfg.rw_indexer_id, not a
+    hardcoded constant: with a wrong indexer id the incremental credit
+    disappears and accuracy drops."""
+    from dataclasses import replace
+
+    with_gold, _ = fixture_eval
+    right = overall_accuracy(with_gold, cfg).toPandas()
+    wrong = overall_accuracy(with_gold, replace(cfg, rw_indexer_id=999)).toPandas()
+    assert right[right.batch_id > 0]["linked_prev_added"].sum() > 0
+    assert wrong["linked_prev_added"].sum() == 0
+    assert (
+        wrong["overall_accuracy"].mean() < right["overall_accuracy"].mean()
+    )
 
 
 def test_b3_and_coref_on_fixture(fixture_eval, spark, world):

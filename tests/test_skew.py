@@ -43,3 +43,33 @@ def test_salted_repartition_spreads_hot_conversation(spark):
         .toPandas()["count"]
     )
     assert sizes_u.max() > sizes.max(), "salt should strictly improve balance"
+
+
+def test_ngram_jaccard_df_cap_bounds_stop_shingle(spark):
+    """One stop-shingle shared by 10k docs would create ~50M self-join rows;
+    df_cap drops it from the index before the join so the query finishes in
+    bounded time and still finds the planted near-dup pair."""
+    import pandas as pd
+
+    n = 10_000
+    rows = [
+        {"doc_id": i, "text": f"common stop phrase unique{i} token{i} word{i}"}
+        for i in range(n)
+    ]
+    # planted exact near-dup of doc 7
+    rows.append(
+        {"doc_id": 100_000, "text": "common stop phrase unique7 token7 word7"}
+    )
+    docs = spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+
+    from incremental_entity_extraction_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, df_cap=50
+    ).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+    assert pairs == {(7, 100_000)}
+    # over the capped shingle universe the planted pair is identical
+    assert abs(out["jaccard"].iloc[0] - 1.0) < 1e-9
