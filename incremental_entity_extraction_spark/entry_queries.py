@@ -1118,6 +1118,65 @@ def q36_nil_train(spark, sf_dir):
     )
 
 
+def q37_conll_scan(spark, sf_dir):
+    """S10 AIDA-CoNLL scan round-trip, ORACLE-CHECKED: the documents table is
+    serialized to CoNLL files (one bare token per line, -DOCSTART- per doc),
+    parsed back with the distributed scan, and the per-source span/char-offset
+    aggregate must equal DuckDB recomputing the offsets relationally."""
+    import os
+    import re
+
+    from incremental_entity_extraction_spark.operators.conll import (
+        read_aida_yago_conll,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pdf = d.orderBy("doc_id").toPandas()
+    tmpdir = tempfile.mkdtemp(prefix="conll_q37_")
+    tok_re = re.compile(r"[a-z0-9]+")
+    n_files = 4  # exercise the multi-file scan path
+    handles = [
+        open(os.path.join(tmpdir, f"part{i}.conll"), "w") for i in range(n_files)
+    ]
+    for row in pdf.itertuples(index=False):
+        f = handles[int(row.doc_id) % n_files]
+        f.write(f"-DOCSTART- ({int(row.doc_id) + 1} testa)\n")
+        for t in tok_re.findall((row.text or "").lower()):
+            f.write(t + "\n")
+    for f in handles:
+        f.close()
+    spans = read_aida_yago_conll(spark, tmpdir)
+    return (
+        spans.select(F.col("doc_id").cast("long").alias("doc_id"), "end")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_spans"),
+            F.sum("end").cast("long").alias("sum_end"),
+        )
+    )
+
+
+def q37_sql():
+    return f"""
+        WITH ends AS (
+          SELECT doc_id,
+                 coalesce(sum(length(tok) + 1) OVER (
+                     PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + length(tok) AS end_off
+          FROM ({_SQL_TOKS})
+        )
+        SELECT d.source AS source,
+               count(DISTINCT e.doc_id) AS n_docs,
+               count(*) AS n_spans,
+               cast(sum(end_off) AS bigint) AS sum_end
+        FROM ends e JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1158,6 +1217,7 @@ QUERIES = {
     "q34_rerank_crossencoder": q34_rerank_crossencoder,
     "q35_sessionize_events": q35_sessionize_events,
     "q36_nil_train": q36_nil_train,
+    "q37_conll_scan": q37_conll_scan,
 }
 
 ORACLE_SQL = {
@@ -1186,4 +1246,5 @@ ORACLE_SQL = {
     "q26_kg_transcripts": q26_sql(),
     "q27_kg_mention_tokens": q27_sql(),
     "q35_sessionize_events": q35_sql(),
+    "q37_conll_scan": q37_sql(),
 }
