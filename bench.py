@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "q20_minhash_lsh",
     "q22_cosine_topk",
     "q24_emb_neardup_brute",
+    "q35_sessionize_events",
+    "q37_conll_scan",
+    "q38_ivf_recall",
 ]
 
 

@@ -58,8 +58,19 @@ def detect_encode_retrieve(
     cfg: PipelineConfig,
     shards: list[KBShard],
     known_words: frozenset | None = None,
+    encoder=None,
 ) -> DataFrame:
-    """transcripts -> enriched mention rows (encoding + sorted candidates)."""
+    """transcripts -> enriched mention rows (encoding + sorted candidates).
+
+    ``encoder`` is the M4 pluggable-contract point: a picklable callable
+    ``(windows: list[list[str]], weights: list[list[float]]) ->
+    np.ndarray[n, cfg.dim] float32`` run executor-side per Arrow batch.
+    Default = the deterministic hash featurizer
+    (functions.featurizer.encode_token_lists).  A real model plugs in via
+    ``operators.torch_encoder.make_torch_encoder`` (executor-local model
+    singleton).  Contract: vectors must be L2-normed to ``cfg.vector_norm``
+    so the reference's dot-product thresholds keep their meaning
+    (config.py docstring)."""
     spark = transcripts.sparkSession
     bc = spark.sparkContext.broadcast(shards)
     dim, norm, max_tok = cfg.dim, cfg.vector_norm, cfg.max_context_tokens
@@ -105,7 +116,15 @@ def detect_encode_retrieve(
             out = pd.DataFrame(rows)
             if len(out) == 0:
                 continue
-            enc = encode_token_lists(windows, dim, norm, weights)
+            if encoder is None:
+                enc = encode_token_lists(windows, dim, norm, weights)
+            else:
+                enc = np.asarray(encoder(windows, weights), dtype=np.float32)
+                if enc.shape != (len(out), dim):
+                    raise ValueError(
+                        f"encoder returned shape {enc.shape}, expected "
+                        f"({len(out)}, {dim}) — see detect_encode_retrieve docstring"
+                    )
             out["encoding"] = [r for r in enc]
             out["candidates"] = topk_candidates_kernel(enc, shard_list, k_cfg, norm2)
             yield out

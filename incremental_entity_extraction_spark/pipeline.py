@@ -127,6 +127,7 @@ def run_batch(
     cfg: PipelineConfig,
     cluster_mode: str = "cc",
     known_words: frozenset | None = None,
+    encoder=None,
 ):
     """One batch: transcripts -> (nil_scored, clusters_with_ids, new_entities,
     triples).  Nothing is collected except the (small) cluster/new-entity
@@ -139,7 +140,7 @@ def run_batch(
     # task instead of three chained ones; identical output to the composed
     # detect_mentions → encode_mentions_df → retrieve_topk chain
     enriched = detect_encode_retrieve(
-        transcripts_batch, cfg, shards, known_words=known_words
+        transcripts_batch, cfg, shards, known_words=known_words, encoder=encoder
     )
     nil_scored = predict_nil(enriched, cfg)
     # two materialization barriers by design (SURVEY.md §3.1): clustering is
@@ -246,6 +247,7 @@ def run_incremental(
     known_words: frozenset | None = None,
     persist_candidates: bool = False,
     deleted_entity_ids: set[int] | None = None,
+    encoder=None,
 ) -> list[dict]:
     """Loop over batch_id in ascending order, threading KB state through the
     lake; resumable via the lineage table.
@@ -312,7 +314,8 @@ def run_incremental(
             partitions, "conv_id", "turn_idx"  # turn_idx = skew salt
         )
         nil_scored, clusters_with_ids, new_entities, triples = run_batch(
-            tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words
+            tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words,
+            encoder,
         )
         # S7 analogue: persist the enriched mention table per batch
         # (reference pickles outdata per batch, eval_kbp.py:654-658);
