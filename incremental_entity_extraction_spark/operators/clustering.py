@@ -228,6 +228,50 @@ def cluster_greedy_replay(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).groupBy("batch_id").applyInPandas(_replay, schema=_LABEL_SCHEMA)
 
 
+def cluster_summarize_greedy(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """greedy_replay + summarization fused into ONE ``groupBy(batch_id)``
+    pass: the replay task already holds the whole batch's NIL rows in
+    canonical order, so the cluster summaries (modal title, medoid center,
+    member lists) are computed in place — one shuffle + one Python stage
+    instead of two of each.  Label assignments are recovered downstream
+    JVM-side by exploding ``mentions_id`` (run_batch), so the output is
+    exactly ``summarize_clusters_df(nil_df, cluster_greedy_replay(nil_df))``
+    (member lists are in canonical batch order in both)."""
+    th = float(cfg.greedy_threshold)
+
+    def _replay_summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "turn_idx", "start_tok"]).reset_index(
+            drop=True
+        )
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in CLUSTER_SCHEMA.fields])
+        enc = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["encoding"]])
+        labels = greedy_cluster_labels(enc, th)  # root row index per row
+        rows = []
+        batch_id = int(pdf["batch_id"].iloc[0])
+        for root in pd.unique(labels):
+            members = np.where(labels == root)[0]  # canonical order preserved
+            sub_enc = enc[members]
+            mentions = [pdf["mention"].iloc[i] for i in members]
+            rows.append(
+                {
+                    "cluster_label": pdf["mention_id"].iloc[int(root)],
+                    "batch_id": batch_id,
+                    "title": modal_value(mentions),
+                    "nelements": len(members),
+                    "mentions_id": [pdf["mention_id"].iloc[i] for i in members],
+                    "mentions": mentions,
+                    "center": sub_enc[medoid_index(sub_enc)].tolist(),
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in CLUSTER_SCHEMA.fields])
+
+    return nil_df.select(
+        "batch_id", "conv_id", "turn_idx", "start_tok", "mention_id",
+        "mention", "encoding",
+    ).groupBy("batch_id").applyInPandas(_replay_summarize, schema=CLUSTER_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # summarization (A2/A3/A10)
 # --------------------------------------------------------------------------

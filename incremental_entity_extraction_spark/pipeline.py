@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from incremental_entity_extraction_spark.config import DEFAULT_CONFIG, PipelineConfig
 from incremental_entity_extraction_spark.operators.clustering import (
     cluster_cc,
-    cluster_greedy_replay,
+    cluster_summarize_greedy,
     cluster_three_step,
     cluster_tfidf,
     summarize_clusters_df,
@@ -152,29 +152,128 @@ def run_batch(
         "mention", "context_left", "context_right", "encoding",
     )
     if cluster_mode == "greedy_replay":
-        labels = cluster_greedy_replay(nil_df, cfg)
-    elif cluster_mode == "three_step":
-        labels = cluster_three_step(nil_df, cfg)
-    elif cluster_mode == "tfidf":
-        labels = cluster_tfidf(nil_df, cfg)
-    elif cluster_mode == "cc":
-        labels = cluster_cc(nil_df, cfg)
-    else:
-        raise ValueError(
-            f"unknown cluster_mode {cluster_mode!r}: "
-            "expected cc | greedy_replay | three_step | tfidf"
+        # fused replay+summarize: one shuffle/Python stage and ONE checkpoint
+        # instead of two of each; labels recovered JVM-side from the member
+        # lists (output proven identical to the composed chain by the e2e
+        # oracle-parity tests)
+        clusters = cluster_summarize_greedy(nil_df, cfg)
+        clusters_with_ids = assign_new_entity_ids(
+            clusters, next_rw_id, cfg
+        ).localCheckpoint()
+        labels = clusters_with_ids.select(
+            F.explode("mentions_id").alias("mention_id"), "cluster_label"
         )
-    # labels/clusters are small; checkpoint so the downstream actions
-    # (3 table writes + triples) don't each replay the clustering chain
-    labels = labels.localCheckpoint()
-    clusters = summarize_clusters_df(nil_df, labels, cfg)
-    clusters_with_ids = assign_new_entity_ids(clusters, next_rw_id, cfg).localCheckpoint()
+    else:
+        if cluster_mode == "three_step":
+            labels = cluster_three_step(nil_df, cfg)
+        elif cluster_mode == "tfidf":
+            labels = cluster_tfidf(nil_df, cfg)
+        elif cluster_mode == "cc":
+            labels = cluster_cc(nil_df, cfg)
+        else:
+            raise ValueError(
+                f"unknown cluster_mode {cluster_mode!r}: "
+                "expected cc | greedy_replay | three_step | tfidf"
+            )
+        # labels/clusters are small; checkpoint so the downstream actions
+        # (table writes + triples) don't each replay the clustering chain
+        labels = labels.localCheckpoint()
+        clusters = summarize_clusters_df(nil_df, labels, cfg)
+        clusters_with_ids = assign_new_entity_ids(
+            clusters, next_rw_id, cfg
+        ).localCheckpoint()
     new_entities = new_entity_rows(clusters_with_ids, cfg)
 
     triples = mention_triples(nil_scored, cfg).unionByName(
         cluster_triples(nil_scored, labels, clusters_with_ids)
     )
     return nil_scored, clusters_with_ids, new_entities, triples
+
+
+class BatchPersist:
+    """Async persist of one batch's lake tables.
+
+    ``start`` submits every independent job (4-5 table writes + the RW-delta
+    collect) to a thread pool at once — the inputs are ``localCheckpoint``-ed
+    in ``run_batch`` so the jobs share no recomputation, and concurrent
+    submission overlaps their fixed per-job scheduling cost (the dominant
+    term for small batches).  Mention/NIL stats ride the mentions write via
+    ``Observation`` instead of a separate aggregation job.
+
+    ``rw_delta`` blocks only on the (tiny) new-entities collect — the one
+    cross-batch data dependency — so the driver can start computing batch
+    N+1 while batch N's writes drain; ``finish`` joins the writes and must
+    complete before batch N is marked in the lineage.
+
+    The wide ``candidates array<struct>`` column is NOT persisted in
+    ``mentions`` — it dominates bytes at scale and is recomputable; pass
+    ``persist_candidates=True`` to emit it as a separate ``candidates``
+    table when an eval workflow needs the full lists
+    (evaluation/metrics.linking_recall_at_k)."""
+
+    def __init__(self) -> None:
+        self._ex: ThreadPoolExecutor | None = None
+        self._futs: list = []
+        self._fut_pdf = None
+        self._obs: Observation | None = None
+
+    def start(
+        self,
+        lake: Lake,
+        nil_scored: DataFrame,
+        clusters_with_ids: DataFrame,
+        new_entities: DataFrame,
+        triples: DataFrame,
+        persist_candidates: bool = False,
+    ) -> "BatchPersist":
+        self._obs = Observation()
+        mentions_out = nil_scored.drop("encoding", "candidates").observe(
+            self._obs,
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.sum(F.when(F.col("is_nil"), 1).otherwise(0)).alias("n_nil"),
+        )
+        jobs: list[tuple[DataFrame, str]] = [
+            (mentions_out, "mentions"),
+            (triples, "triples"),
+            (new_entities, "new_entities"),
+            (
+                clusters_with_ids.select(
+                    "cluster_label", "title", "nelements", "mentions_id",
+                    "mentions", "index_id", "index_indexer", "batch_id",
+                ),
+                "prev_clusters",
+            ),
+        ]
+        if persist_candidates:
+            jobs.append(
+                (
+                    nil_scored.select("mention_id", "candidates", "batch_id"),
+                    "candidates",
+                )
+            )
+        self._ex = ThreadPoolExecutor(max_workers=len(jobs) + 1)
+        self._futs = [self._ex.submit(lake.write_partition, df, t) for df, t in jobs]
+        self._fut_pdf = self._ex.submit(new_entities.drop("batch_id").toPandas)
+        return self
+
+    def rw_delta(self) -> pd.DataFrame:
+        """The new-entities rows for RW-state threading (blocks only on the
+        small collect, not the table writes)."""
+        return self._fut_pdf.result()
+
+    def finish(self) -> dict:
+        """Join all writes; returns the observed mention/NIL stats.  Must
+        run before the batch is marked complete in the lineage."""
+        try:
+            for f in self._futs:
+                f.result()
+        finally:
+            self._ex.shutdown(wait=False)
+        got = self._obs.get
+        return {
+            "n_mentions": int(got["n_mentions"]),
+            "n_nil": int(got["n_nil"] or 0),
+        }
 
 
 def persist_batch(
@@ -185,53 +284,13 @@ def persist_batch(
     triples: DataFrame,
     persist_candidates: bool = False,
 ) -> tuple[pd.DataFrame, dict]:
-    """Persist one batch's lake tables and collect the RW-state delta, with
-    all independent jobs submitted concurrently.
-
-    The inputs are ``localCheckpoint``-ed in ``run_batch``, so the jobs share
-    no recomputation; a thread pool overlaps their fixed per-job scheduling
-    cost (the dominant term for small batches).  Mention/NIL stats ride the
-    mentions write via ``Observation`` instead of a separate aggregation job.
-
-    The wide ``candidates array<struct>`` column is NOT persisted in
-    ``mentions`` — it dominates bytes at scale and is recomputable; pass
-    ``persist_candidates=True`` to emit it as a separate ``candidates``
-    table when an eval workflow needs the full lists
-    (evaluation/metrics.linking_recall_at_k)."""
-    obs = Observation()
-    mentions_out = nil_scored.drop("encoding", "candidates").observe(
-        obs,
-        F.count(F.lit(1)).alias("n_mentions"),
-        F.sum(F.when(F.col("is_nil"), 1).otherwise(0)).alias("n_nil"),
+    """Synchronous persist (streaming driver + ad-hoc callers)."""
+    bp = BatchPersist().start(
+        lake, nil_scored, clusters_with_ids, new_entities, triples,
+        persist_candidates,
     )
-    jobs: list[tuple[DataFrame, str]] = [
-        (mentions_out, "mentions"),
-        (triples, "triples"),
-        (new_entities, "new_entities"),
-        (
-            clusters_with_ids.select(
-                "cluster_label", "title", "nelements", "mentions_id", "mentions",
-                "index_id", "index_indexer", "batch_id",
-            ),
-            "prev_clusters",
-        ),
-    ]
-    if persist_candidates:
-        jobs.append(
-            (nil_scored.select("mention_id", "candidates", "batch_id"), "candidates")
-        )
-    with ThreadPoolExecutor(max_workers=len(jobs) + 1) as ex:
-        futs = [ex.submit(lake.write_partition, df, t) for df, t in jobs]
-        fut_pdf = ex.submit(new_entities.drop("batch_id").toPandas)
-        for f in futs:
-            f.result()
-        add_pdf = fut_pdf.result()
-    got = obs.get
-    stats = {
-        "n_mentions": int(got["n_mentions"]),
-        "n_nil": int(got["n_nil"] or 0),
-    }
-    return add_pdf, stats
+    add_pdf = bp.rw_delta()
+    return add_pdf, bp.finish()
 
 
 def run_incremental(
@@ -267,10 +326,12 @@ def run_incremental(
     if partitions is None:
         # size tasks to the data: ~2000 turns per task, bounded by the
         # executor slots — tiny batches shouldn't schedule 2×cores tasks,
-        # huge ones shouldn't underfill the cluster
+        # huge ones shouldn't underfill the cluster (one agg job, not two)
         par = spark.sparkContext.defaultParallelism
-        n_turns = transcripts.count()
-        n_b = max(1, transcripts.select("batch_id").distinct().count())
+        sizes = transcripts.agg(
+            F.count("*").alias("n"), F.countDistinct("batch_id").alias("b")
+        ).first()
+        n_turns, n_b = int(sizes["n"]), max(1, int(sizes["b"]))
         partitions = int(min(par * 2, max(par // 2, n_turns / n_b / 2000, 1)))
 
     batch_ids = [
@@ -306,6 +367,19 @@ def run_incremental(
         rw_pdf = rw_pdf[~rw_pdf["id"].isin(dels)].reset_index(drop=True)
 
     stats_rows = []
+    # pipeline parallelism across the batch boundary: batch N's table writes
+    # drain while batch N+1 computes — the ONLY cross-batch dependency is the
+    # (tiny) RW delta, which BatchPersist.rw_delta() returns immediately.
+    # Lineage is marked strictly after finish(), so a crash mid-overlap
+    # leaves batch N unmarked and the prefix-resume re-runs it idempotently.
+    pending: tuple[int, BatchPersist, dict, float] | None = None
+
+    def _drain(p) -> None:
+        b_prev, bp_prev, extra = p
+        stats = {**bp_prev.finish(), **extra}
+        lake.mark_complete(int(b_prev), stats)
+        stats_rows.append({"batch_id": int(b_prev), **stats})
+
     for b in batch_ids:
         if b in done:
             continue
@@ -320,11 +394,12 @@ def run_incremental(
         # S7 analogue: persist the enriched mention table per batch
         # (reference pickles outdata per batch, eval_kbp.py:654-658);
         # encodings/candidates are dropped — recomputable and dominate bytes.
-        add_pdf, counts = persist_batch(
+        bp = BatchPersist().start(
             lake, nil_scored, clusters_with_ids, new_entities, triples,
             persist_candidates,
         )
         # thread RW state forward (small dimension delta)
+        add_pdf = bp.rw_delta()
         if len(add_pdf):
             rw_pdf = (
                 pd.concat([rw_pdf, add_pdf], ignore_index=True)
@@ -332,13 +407,20 @@ def run_incremental(
                 else add_pdf
             )
             next_rw_id = int(rw_pdf["id"].max()) + 1
-        stats = {
-            **counts,
-            "n_clusters": int(len(add_pdf)),
-            "wall_s": round(time.time() - t0, 3),
-        }
-        lake.mark_complete(int(b), stats)
-        stats_rows.append({"batch_id": int(b), **stats})
+        if pending is not None:
+            _drain(pending)
+        # wall_s = compute wall (detect→cluster→ids→RW delta); the table
+        # writes drain during the NEXT batch's compute and are not charged
+        pending = (
+            int(b),
+            bp,
+            {
+                "n_clusters": int(len(add_pdf)),
+                "wall_s": round(time.time() - t0, 3),
+            },
+        )
+    if pending is not None:
+        _drain(pending)
 
     if stats_rows:
         metrics_df = spark.createDataFrame(pd.DataFrame(stats_rows))

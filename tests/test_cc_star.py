@@ -47,3 +47,27 @@ def test_star_cc_long_chain(spark):
     )
     out = connected_components_star(vertices, edges).toPandas()
     assert set(out["cluster_label"]) == {"v000"}
+
+
+def test_propagation_raises_on_deep_chain_star_converges(spark):
+    """A chain of 30 nodes has diameter 29: propagation with max_iter=5 must
+    FAIL LOUDLY (no silent partial labels), while star-CC converges in
+    O(log n) rounds and labels the whole chain with its minimum."""
+    import pandas as pd
+    import pytest
+
+    n = 30
+    edges_pdf = pd.DataFrame(
+        {"src": [f"v{i:03d}" for i in range(n - 1)],
+         "dst": [f"v{i+1:03d}" for i in range(n - 1)]}
+    )
+    verts_pdf = pd.DataFrame({"mention_id": [f"v{i:03d}" for i in range(n)]})
+    edges = spark.createDataFrame(edges_pdf)
+    vertices = spark.createDataFrame(verts_pdf)
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, edges, max_iter=5)
+
+    out = connected_components_star(vertices, edges, max_iter=10).toPandas()
+    assert (out["cluster_label"] == "v000").all()
+    assert len(out) == n
