@@ -1211,6 +1211,45 @@ def q38_ivf_recall(spark, sf_dir):
     )
 
 
+def q39_contiguous_ids(spark, sf_dir):
+    """ORACLE-CHECKED id assignment: contiguous_ids (range-partition +
+    per-partition rank + offsets — the scalable replacement for an
+    unpartitioned window) must reproduce DuckDB's global row_number over the
+    same ordered distinct-token set, verified per first-letter group."""
+    from incremental_entity_extraction_spark.operators.kb import contiguous_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    with_ids = contiguous_ids(toks, ["tok"], id_col="id", start=1)
+    return (
+        with_ids.groupBy(F.substring("tok", 1, 1).alias("first_char"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("id").cast("long").alias("sum_id"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+    )
+
+
+def q39_sql():
+    return f"""
+        WITH ids AS (
+          SELECT tok, row_number() OVER (ORDER BY tok) AS id
+          FROM (SELECT DISTINCT tok FROM ({_SQL_TOKS}))
+        )
+        SELECT substring(tok, 1, 1) AS first_char,
+               count(*) AS n_tokens,
+               cast(sum(id) AS bigint) AS sum_id,
+               min(id) AS min_id,
+               max(id) AS max_id
+        FROM ids GROUP BY substring(tok, 1, 1)
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1253,6 +1292,7 @@ QUERIES = {
     "q36_nil_train": q36_nil_train,
     "q37_conll_scan": q37_conll_scan,
     "q38_ivf_recall": q38_ivf_recall,
+    "q39_contiguous_ids": q39_contiguous_ids,
 }
 
 ORACLE_SQL = {
@@ -1282,4 +1322,5 @@ ORACLE_SQL = {
     "q27_kg_mention_tokens": q27_sql(),
     "q35_sessionize_events": q35_sql(),
     "q37_conll_scan": q37_sql(),
+    "q39_contiguous_ids": q39_sql(),
 }
