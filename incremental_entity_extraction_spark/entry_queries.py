@@ -1250,6 +1250,23 @@ def q39_sql():
     """
 
 
+def q40_cosine_topk_scan(spark, sf_dir):
+    """ORACLE-CHECKED big-corpus exact top-k: the corpus-scan engine
+    (queries broadcast, corpus scanned in place, per-partition local top-k,
+    window merge — nothing corpus-sized collected or broadcast) must equal
+    the relational crossjoin-window oracle."""
+    from incremental_entity_extraction_spark.operators.similarity_search import (
+        cosine_topk_scan,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = cosine_topk_scan(q, e, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1293,6 +1310,7 @@ QUERIES = {
     "q37_conll_scan": q37_conll_scan,
     "q38_ivf_recall": q38_ivf_recall,
     "q39_contiguous_ids": q39_contiguous_ids,
+    "q40_cosine_topk_scan": q40_cosine_topk_scan,
 }
 
 ORACLE_SQL = {
@@ -1323,4 +1341,7 @@ ORACLE_SQL = {
     "q35_sessionize_events": q35_sql(),
     "q37_conll_scan": q37_sql(),
     "q39_contiguous_ids": q39_sql(),
+    # same relational oracle as q22 — the scan engine must equal the
+    # crossjoin engine exactly (also asserted pairwise in pytest)
+    "q40_cosine_topk_scan": q22_sql(),
 }

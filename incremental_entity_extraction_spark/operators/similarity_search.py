@@ -140,6 +140,97 @@ def cosine_topk_join(
     )
 
 
+def cosine_topk_scan(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k for a corpus too big to collect OR broadcast — the
+    third topology in the matrix:
+
+    * ``cosine_topk_broadcast`` — corpus broadcast, queries scanned
+      (KB-sized corpus, unbounded queries);
+    * THIS — queries broadcast, corpus scanned in place (unbounded corpus,
+      modest query set, e.g. dedup probes / eval queries);
+    * ``ivf_topk``             — both sides unbounded (ANN).
+
+    Each corpus partition computes one matmul against the broadcast query
+    matrix and emits its LOCAL top-k per query (≤ k·|Q| rows per partition —
+    the shuffle is bounded by parallelism·k·|Q|, never by |corpus|); a
+    window merge keeps the global top-k.  Same deterministic tie-break as
+    the other engines (cosine desc, neighbor_id asc) and exact-equal output
+    to ``cosine_topk_join`` (tested)."""
+    spark = queries.sparkSession
+    q_pdf = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).toPandas()
+    if len(q_pdf) == 0:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    Q = _normalize(np.stack([np.asarray(v, dtype=np.float32) for v in q_pdf["vec"]]))
+    Qraw = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf["vec"]])
+    qn = np.linalg.norm(Qraw, axis=1)
+    qn[qn == 0] = 1.0
+    Q64 = Qraw / qn[:, None]  # f64-normalized twin for exact rescoring
+    q_ids = q_pdf["id"].to_numpy(dtype=np.int64)
+    bc = spark.sparkContext.broadcast((Q, Q64, q_ids))
+
+    local_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def _scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Qm, Q64, qid = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            C = _normalize(
+                np.stack([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
+            )
+            cid = pdf["id"].to_numpy(dtype=np.int64)
+            S = Qm @ C.T  # f32 matmul selects the local top-k
+            if exclude_self:
+                S[qid[:, None] == cid[None, :]] = -np.inf
+            kk = min(k, S.shape[1])
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(Qm)), kk)
+            cols = idx.ravel()
+            keep = np.isfinite(S[rows, cols])
+            rows, cols = rows[keep], cols[keep]
+            # emitted values rescored in f64 from f64-normalized vectors so
+            # they hash-match a relational double-precision oracle
+            Craw = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            n64 = np.linalg.norm(Craw, axis=1)
+            n64[n64 == 0] = 1.0
+            C64 = Craw / n64[:, None]
+            sc64 = np.einsum("ij,ij->i", Q64[rows], C64[cols])
+            yield pd.DataFrame(
+                {
+                    "query_id": qid[rows],
+                    "neighbor_id": cid[cols],
+                    "cosine": sc64,
+                }
+            )
+
+    local = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(_scan, schema=local_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def kmeans_centroids(
     X: np.ndarray, n_centroids: int, n_iter: int = 10, seed: int = 11
 ) -> np.ndarray:

@@ -161,3 +161,30 @@ def test_multimodal_features_and_frames(spark):
 def test_multimodal_strict_decoder_raises():
     with pytest.raises(NotImplementedError):
         multimodal.strict_decoder(b"xx", "image")
+
+
+def test_cosine_topk_scan_matches_join_exactly(spark, embeddings):
+    """The corpus-scan engine (queries broadcast, per-partition local top-k,
+    window merge) must emit the identical (query, neighbor, rank) triples as
+    the oracle-checkable crossjoin engine — same deterministic tie-break."""
+    q = embeddings.filter(F.col("vec_id") < 40)
+    from incremental_entity_extraction_spark.operators.similarity_search import (
+        cosine_topk_scan,
+    )
+
+    scan = (
+        cosine_topk_scan(q, embeddings.repartition(7), k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    join = (
+        cosine_topk_join(q, embeddings, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(scan["query_id"]) == list(join["query_id"])
+    assert list(scan["neighbor_id"]) == list(join["neighbor_id"])
+    assert list(scan["rank"]) == list(join["rank"])
+    assert np.allclose(scan["cosine"], join["cosine"], atol=1e-5)
