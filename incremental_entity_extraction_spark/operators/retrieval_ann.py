@@ -1,0 +1,105 @@
+"""W2/W3 at pipeline scale — ANN candidate retrieval for KBs beyond the
+broadcast budget.
+
+The default retrieval (operators/retrieval.py + fused.py) broadcasts the KB
+as NumPy shards — the right topology while the KB fits executor memory
+(the reference's whole KB is one 24 GB FAISS server,
+pipeline/biencoder/blink/indexer/faiss_indexer.py:65-67).  When the entity
+dimension outgrows broadcast (10^8+ entities × 1024-d), this module keeps
+the KB a DataFrame and retrieves through the distributed IVF engine
+(operators/similarity_search.ivf_topk): only sampled centroids are
+collected, the KB is bucketed in place, and mentions probe ``n_probe``
+buckets — approximate (recall tested ≥ 0.9 in its operating regime) but
+nothing KB-sized ever reaches the driver or a broadcast.
+
+Output contract matches ``retrieve_topk`` exactly: mention rows +
+``candidates array<CANDIDATE_STRUCT>`` sorted (score desc, indexer asc,
+id asc), score in dot space (= cosine · vector_norm², since every encoding
+is L2-normed to ``cfg.vector_norm``), so NIL prediction and clustering run
+unchanged downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incremental_entity_extraction_spark.config import PipelineConfig
+from incremental_entity_extraction_spark.operators.retrieval import CANDIDATE_STRUCT
+from incremental_entity_extraction_spark.operators.similarity_search import ivf_topk
+
+# composite (indexer, id) -> one long key; id must stay below 2^40 (~1.1e12,
+# far above any KB/RW id — RW ids count discovered clusters, not turns)
+_IDX_SHIFT = 1 << 40
+
+
+def retrieve_topk_ann(
+    mentions: DataFrame,
+    kb_df: DataFrame,
+    cfg: PipelineConfig,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """mentions(+encoding) × kb DataFrame -> mentions + candidates array.
+
+    kb_df needs (id, indexer, wikipedia_id, title, embedding).  Join-back is
+    on ``xxhash64(mention_id)`` (deterministic; collision odds ~n²/2⁶⁴)."""
+    norm2 = float(cfg.vector_norm) ** 2
+    queries = mentions.select(
+        F.xxhash64("mention_id").alias("vec_id"),
+        F.col("encoding").alias("embedding"),
+    )
+    corpus = kb_df.select(
+        (F.col("indexer").cast("long") * F.lit(_IDX_SHIFT) + F.col("id")).alias(
+            "vec_id"
+        ),
+        F.col("embedding"),
+    )
+    nn = ivf_topk(
+        queries, corpus, k=cfg.top_k, n_centroids=n_centroids, n_probe=n_probe,
+        seed=seed, exclude_self=False,
+    )
+    decoded = nn.select(
+        F.col("query_id").alias("qid"),
+        (F.col("neighbor_id") % F.lit(_IDX_SHIFT)).alias("id"),
+        (F.col("neighbor_id") / F.lit(_IDX_SHIFT)).cast("int").alias("indexer"),
+        (F.col("cosine") * F.lit(norm2)).cast("float").alias("score"),
+        F.col("cosine").cast("float").alias("norm_score"),
+    )
+    meta = kb_df.select("id", "indexer", "wikipedia_id", "title")
+    hydrated = decoded.join(meta, ["id", "indexer"], "inner")
+    assembled = hydrated.groupBy("qid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score")).alias("neg_score"),
+                        F.col("indexer").cast("int").alias("indexer"),
+                        F.col("id").cast("long").alias("id"),
+                        F.col("wikipedia_id").cast("long").alias("wikipedia_id"),
+                        F.col("title").alias("title"),
+                        F.col("score").alias("score"),
+                        F.col("norm_score").alias("norm_score"),
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s["id"].alias("id"),
+                s["indexer"].alias("indexer"),
+                s["wikipedia_id"].alias("wikipedia_id"),
+                s["title"].alias("title"),
+                s["score"].alias("score"),
+                s["norm_score"].alias("norm_score"),
+            ),
+        ).alias("candidates")
+    )
+    empty = F.array().cast(T.ArrayType(CANDIDATE_STRUCT).simpleString())
+    out = (
+        mentions.withColumn("qid", F.xxhash64("mention_id"))
+        .join(assembled, "qid", "left")
+        .withColumn("candidates", F.coalesce(F.col("candidates"), empty))
+        .drop("qid")
+    )
+    return out

@@ -128,20 +128,52 @@ def run_batch(
     cluster_mode: str = "cc",
     known_words: frozenset | None = None,
     encoder=None,
+    retrieval_mode: str = "broadcast",
+    kb_ro_df: DataFrame | None = None,
 ):
     """One batch: transcripts -> (nil_scored, clusters_with_ids, new_entities,
     triples).  Nothing is collected except the (small) cluster/new-entity
-    tables needed to thread state to the next batch."""
-    shards = list(ro_shards)
-    if len(rw_pdf):
-        shards = shards + [KBShard(rw_pdf.reset_index(drop=True))]
+    tables needed to thread state to the next batch.
 
-    # fused single-hop stage (operators/fused.py): one Python worker per
-    # task instead of three chained ones; identical output to the composed
-    # detect_mentions → encode_mentions_df → retrieve_topk chain
-    enriched = detect_encode_retrieve(
-        transcripts_batch, cfg, shards, known_words=known_words, encoder=encoder
-    )
+    ``retrieval_mode='broadcast'`` (default): KB shards broadcast, fused
+    single-hop detect→encode→retrieve — exact, for KBs within the broadcast
+    budget (the reference's regime).  ``'ivf'``: the KB stays a DataFrame
+    (``kb_ro_df`` + the RW delta) and candidates come from the distributed
+    IVF engine — approximate, for entity dimensions beyond broadcast."""
+    if retrieval_mode == "ivf":
+        from incremental_entity_extraction_spark.operators.encode import (
+            encode_mentions_df,
+        )
+        from incremental_entity_extraction_spark.operators.mentions import (
+            detect_mentions,
+        )
+        from incremental_entity_extraction_spark.operators.retrieval_ann import (
+            retrieve_topk_ann,
+        )
+
+        kb_df = kb_ro_df.select(
+            "id", "indexer", "wikipedia_id", "title", "embedding"
+        )
+        if len(rw_pdf):
+            spark = transcripts_batch.sparkSession
+            kb_df = kb_df.unionByName(
+                spark.createDataFrame(
+                    rw_pdf[["id", "indexer", "wikipedia_id", "title", "embedding"]]
+                )
+            )
+        ments = detect_mentions(transcripts_batch, known_words)
+        enriched = retrieve_topk_ann(encode_mentions_df(ments, cfg), kb_df, cfg)
+    else:
+        shards = list(ro_shards)
+        if len(rw_pdf):
+            shards = shards + [KBShard(rw_pdf.reset_index(drop=True))]
+        # fused single-hop stage (operators/fused.py): one Python worker per
+        # task instead of three chained ones; identical output to the composed
+        # detect_mentions → encode_mentions_df → retrieve_topk chain
+        enriched = detect_encode_retrieve(
+            transcripts_batch, cfg, shards, known_words=known_words,
+            encoder=encoder,
+        )
     nil_scored = predict_nil(enriched, cfg)
     # two materialization barriers by design (SURVEY.md §3.1): clustering is
     # iterative, and the KB append is the batch boundary.
@@ -307,6 +339,7 @@ def run_incremental(
     persist_candidates: bool = False,
     deleted_entity_ids: set[int] | None = None,
     encoder=None,
+    retrieval_mode: str = "broadcast",
 ) -> list[dict]:
     """Loop over batch_id in ascending order, threading KB state through the
     lake; resumable via the lineage table.
@@ -322,7 +355,8 @@ def run_incremental(
     dels = sorted(int(i) for i in deleted_entity_ids) if deleted_entity_ids else []
     if dels:
         kb_ro = kb_ro.filter(~F.col("id").isin(dels))
-    ro_shards = build_kb_shards(kb_ro, n_shards)
+    # ivf mode never collects the KB — that is its point
+    ro_shards = build_kb_shards(kb_ro, n_shards) if retrieval_mode == "broadcast" else []
     if partitions is None:
         # size tasks to the data: ~2000 turns per task, bounded by the
         # executor slots — tiny batches shouldn't schedule 2×cores tasks,
@@ -389,7 +423,7 @@ def run_incremental(
         )
         nil_scored, clusters_with_ids, new_entities, triples = run_batch(
             tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words,
-            encoder,
+            encoder, retrieval_mode, kb_ro,
         )
         # S7 analogue: persist the enriched mention table per batch
         # (reference pickles outdata per batch, eval_kbp.py:654-658);

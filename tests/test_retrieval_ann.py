@@ -1,0 +1,84 @@
+"""ANN retrieval path (KB-beyond-broadcast): candidate contract parity with
+the broadcast engine and end-to-end pipeline quality vs the oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_entity_extraction_spark.operators.encode import encode_mentions_df
+from incremental_entity_extraction_spark.operators.mentions import detect_mentions
+from incremental_entity_extraction_spark.operators.retrieval import (
+    build_kb_shards,
+    retrieve_topk,
+)
+from incremental_entity_extraction_spark.operators.retrieval_ann import (
+    retrieve_topk_ann,
+)
+
+
+@pytest.fixture(scope="module")
+def enriched_pair(spark, spark_world, cfg):
+    encoded = encode_mentions_df(
+        detect_mentions(spark_world["transcripts"]), cfg
+    ).localCheckpoint()
+    shards = build_kb_shards(spark_world["entities_kb"], 1)
+    exact = retrieve_topk(encoded, cfg, shards).toPandas().set_index("mention_id")
+    ann = (
+        retrieve_topk_ann(encoded, spark_world["entities_kb"], cfg)
+        .toPandas()
+        .set_index("mention_id")
+    )
+    return exact.sort_index(), ann.sort_index()
+
+
+def test_ann_candidate_contract(enriched_pair, cfg):
+    exact, ann = enriched_pair
+    assert list(exact.index) == list(ann.index)
+    row = ann["candidates"].iloc[0]
+    assert len(row) > 0
+    c = dict(row[0])
+    # same struct fields, same dot-space scoring
+    assert set(c.keys()) == {
+        "id", "indexer", "wikipedia_id", "title", "score", "norm_score",
+    }
+    assert abs(c["score"] - c["norm_score"] * cfg.vector_norm**2) < 1e-3
+    # candidate lists sorted score desc with deterministic ties
+    for cands in ann["candidates"].head(50):
+        scores = [x["score"] for x in cands]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_top1_agrees_with_exact(enriched_pair):
+    exact, ann = enriched_pair
+    agree = 0
+    n = 0
+    for mid in exact.index:
+        e = exact.loc[mid, "candidates"]
+        a = ann.loc[mid, "candidates"]
+        if len(e) == 0:
+            continue
+        n += 1
+        if len(a) and a[0]["id"] == e[0]["id"] and a[0]["indexer"] == e[0]["indexer"]:
+            agree += 1
+    assert n > 0
+    assert agree / n >= 0.9, f"top-1 agreement {agree / n:.3f}"
+
+
+def test_pipeline_e2e_with_ivf_retrieval(spark, spark_world, world, cfg, tmp_path):
+    """Full incremental run with retrieval_mode='ivf' (no KB broadcast, no
+    KB collect): triples must match the oracle at P/R >= 0.95."""
+    from incremental_entity_extraction_spark.oracle import oracle_run_incremental
+    from incremental_entity_extraction_spark.pipeline import Lake, run_incremental
+
+    _, _, ot, _ = oracle_run_incremental(world.transcripts, world.entities_kb, cfg)
+    oset = set(map(tuple, ot[["subj", "pred", "obj"]].itertuples(index=False)))
+    lake = Lake(str(tmp_path / "ivf_lake"))
+    run_incremental(
+        spark, spark_world["transcripts"], spark_world["entities_kb"], lake, cfg,
+        cluster_mode="greedy_replay", retrieval_mode="ivf",
+    )
+    st = spark.read.parquet(lake.path("triples")).toPandas()
+    sset = set(map(tuple, st[["subj", "pred", "obj"]].itertuples(index=False)))
+    p = len(sset & oset) / len(sset)
+    r = len(sset & oset) / len(oset)
+    assert p >= 0.95 and r >= 0.95, f"ivf-mode triples P={p:.3f} R={r:.3f}"
