@@ -31,6 +31,20 @@ def main() -> None:
     p.add_argument("--cluster-mode", default="cc")
     p.add_argument("--n-shards", type=int, default=1)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--retrieval-mode", default="broadcast", choices=["broadcast", "ivf"],
+        help="'ivf' keeps the KB distributed (no broadcast) — for entity "
+        "dimensions beyond executor memory; approximate recall",
+    )
+    p.add_argument(
+        "--persist-candidates", action="store_true",
+        help="also write the full candidate lists as a `candidates` table "
+        "(wide; needed only by linking-recall eval workflows)",
+    )
+    p.add_argument(
+        "--delete-entity", type=int, action="append", default=[],
+        help="KB tombstone: entity id to exclude from retrieval (repeatable)",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,6 +64,9 @@ def main() -> None:
         cluster_mode=args.cluster_mode,
         n_shards=args.n_shards,
         resume=not args.no_resume,
+        retrieval_mode=args.retrieval_mode,
+        persist_candidates=args.persist_candidates,
+        deleted_entity_ids=set(args.delete_entity) or None,
     )
     print(json.dumps({"completed_batches": stats}))
     spark.stop()
