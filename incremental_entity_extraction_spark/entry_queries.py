@@ -1267,6 +1267,61 @@ def q40_cosine_topk_scan(spark, sf_dir):
     )
 
 
+def q41_b3_clustering_metric(spark, sf_dir):
+    """ORACLE-CHECKED E4: the distributed B³ precision/recall operator
+    (two self-joins + aggregation, evaluation/metrics.b3_scores) over a
+    deterministic pred/gold clustering derived from the events table must
+    match DuckDB computing B³ relationally from group counts."""
+    from incremental_entity_extraction_spark.evaluation.metrics import b3_scores
+
+    e = _t(spark, sf_dir, "events")
+    assignments = e.select(
+        (F.col("event_id") % 2).cast("int").alias("batch_id"),
+        F.col("event_id").alias("mention_id"),
+        F.col("event_type").alias("pred_cluster"),
+        (F.col("user_id") % 7).cast("string").alias("gold_cluster"),
+    )
+    out = b3_scores(assignments)
+    return out.select(
+        "batch_id",
+        F.round("b3_precision", 6).alias("b3_precision"),
+        F.round("b3_recall", 6).alias("b3_recall"),
+        "n_mentions",
+        F.round("b3_f1", 6).alias("b3_f1"),
+    )
+
+
+def q41_sql():
+    return """
+        WITH a AS (
+          SELECT cast(event_id % 2 AS int) AS batch_id, event_id AS mention_id,
+                 event_type AS pred_cluster,
+                 cast(user_id % 7 AS varchar) AS gold_cluster
+          FROM events
+        ), pg AS (
+          SELECT batch_id, pred_cluster, gold_cluster, count(*) AS n_pg
+          FROM a GROUP BY 1, 2, 3
+        ), p AS (
+          SELECT batch_id, pred_cluster, count(*) AS n_p FROM a GROUP BY 1, 2
+        ), g AS (
+          SELECT batch_id, gold_cluster, count(*) AS n_g FROM a GROUP BY 1, 2
+        ), agg AS (
+          SELECT a.batch_id,
+                 avg(n_pg * 1.0 / n_p) AS bp,
+                 avg(n_pg * 1.0 / n_g) AS br,
+                 count(*) AS n_mentions
+          FROM a
+          JOIN pg USING (batch_id, pred_cluster, gold_cluster)
+          JOIN p USING (batch_id, pred_cluster)
+          JOIN g USING (batch_id, gold_cluster)
+          GROUP BY a.batch_id
+        )
+        SELECT batch_id, round(bp, 6) AS b3_precision, round(br, 6) AS b3_recall,
+               n_mentions, round(2 * bp * br / (bp + br), 6) AS b3_f1
+        FROM agg
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1311,6 +1366,7 @@ QUERIES = {
     "q38_ivf_recall": q38_ivf_recall,
     "q39_contiguous_ids": q39_contiguous_ids,
     "q40_cosine_topk_scan": q40_cosine_topk_scan,
+    "q41_b3_clustering_metric": q41_b3_clustering_metric,
 }
 
 ORACLE_SQL = {
@@ -1344,4 +1400,5 @@ ORACLE_SQL = {
     # same relational oracle as q22 — the scan engine must equal the
     # crossjoin engine exactly (also asserted pairwise in pytest)
     "q40_cosine_topk_scan": q22_sql(),
+    "q41_b3_clustering_metric": q41_sql(),
 }

@@ -41,13 +41,18 @@ def run_streaming_incremental(
     max_files_per_trigger: int | None = None,
     n_shards: int = 1,
     persist_candidates: bool = False,
+    encoder=None,
+    retrieval_mode: str = "broadcast",
 ) -> None:
     """Consume a transcript parquet directory as a stream; emit lake tables.
 
     ``max_files_per_trigger`` < number of files forces multiple micro-batches
     (exercises cross-epoch state threading); ``availableNow`` drains all
-    pending input then stops."""
-    ro_shards = build_kb_shards(kb_ro, n_shards)
+    pending input then stops.  ``encoder``/``retrieval_mode`` mirror
+    ``run_incremental`` (pipeline.py)."""
+    ro_shards = (
+        build_kb_shards(kb_ro, n_shards) if retrieval_mode == "broadcast" else []
+    )
 
     def _process(batch_df, epoch_id: int) -> None:
         # state snapshot from the lake (epoch-safe resume)
@@ -77,7 +82,8 @@ def run_streaming_incremental(
                 continue
             tb = batch_df.filter(F.col("batch_id") == int(b))
             nil_scored, clusters_with_ids, new_entities, triples = run_batch(
-                tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words
+                tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words,
+                encoder, retrieval_mode, kb_ro,
             )
             add_pdf, _counts = persist_batch(
                 lake, nil_scored, clusters_with_ids, new_entities, triples,
