@@ -115,9 +115,19 @@ def build_mention_window(
     between the nearest-left and nearest-right context tokens (weight 1),
     spilling unused quota to the other side.
     """
-    m = tokenize(mention)
-    lt = tokenize(context_left)
-    rt = tokenize(context_right)
+    return window_from_tokens(
+        tokenize(context_left), tokenize(mention), tokenize(context_right),
+        max_tokens,
+    )
+
+
+def window_from_tokens(
+    lt: list[str], m: list[str], rt: list[str], max_tokens: int
+) -> tuple[list[str], list[float]]:
+    """Token-list core of ``build_mention_window`` — callers that already
+    hold token lists (the fused detector, which tokenized the turn once)
+    skip the join+retokenize round trip.  Bit-identical: tokens are
+    ``[a-z0-9]+`` so ``tokenize(" ".join(toks)) == toks`` exactly."""
     budget = max(0, max_tokens - len(m))
     left_quota = budget // 2
     right_quota = budget - left_quota

@@ -27,9 +27,9 @@ from incremental_entity_extraction_spark.functions.detection import (
     detect_mentions_in_tokens,
 )
 from incremental_entity_extraction_spark.functions.featurizer import (
-    build_mention_window,
     encode_token_lists,
     tokenize,
+    window_from_tokens,
 )
 from incremental_entity_extraction_spark.operators.retrieval import (
     CANDIDATE_STRUCT,
@@ -98,18 +98,21 @@ def detect_encode_retrieve(
                     else detect_mentions_in_tokens(toks, kw)
                 )
                 for start, width, surface in spans:
-                    left = " ".join(toks[:start])
-                    right = " ".join(toks[start + width :])
+                    lt = toks[:start]
+                    rt = toks[start + width :]
                     rows["mention_id"].append(f"{conv_id}:{turn_idx}:{start}")
                     rows["conv_id"].append(conv_id)
                     rows["turn_idx"].append(int(turn_idx))
                     rows["batch_id"].append(int(batch_id))
                     rows["start_tok"].append(start)
                     rows["mention"].append(surface)
-                    rows["context_left"].append(left)
-                    rows["context_right"].append(right)
-                    w_toks, w_wts = build_mention_window(
-                        left, surface, right, max_tok
+                    rows["context_left"].append(" ".join(lt))
+                    rows["context_right"].append(" ".join(rt))
+                    # token-list window: the turn was tokenized ONCE above;
+                    # joining + retokenizing the contexts per mention was
+                    # O(turn_len) redundant regex work on the hot path
+                    w_toks, w_wts = window_from_tokens(
+                        lt, toks[start : start + width], rt, max_tok
                     )
                     windows.append(w_toks)
                     weights.append(w_wts)
