@@ -414,47 +414,61 @@ def run_incremental(
         lake.mark_complete(int(b_prev), stats)
         stats_rows.append({"batch_id": int(b_prev), **stats})
 
-    for b in batch_ids:
-        if b in done:
-            continue
-        t0 = time.time()
-        tb = transcripts.filter(F.col("batch_id") == int(b)).repartition(
-            partitions, "conv_id", "turn_idx"  # turn_idx = skew salt
-        )
-        nil_scored, clusters_with_ids, new_entities, triples = run_batch(
-            tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words,
-            encoder, retrieval_mode, kb_ro,
-        )
-        # S7 analogue: persist the enriched mention table per batch
-        # (reference pickles outdata per batch, eval_kbp.py:654-658);
-        # encodings/candidates are dropped — recomputable and dominate bytes.
-        bp = BatchPersist().start(
-            lake, nil_scored, clusters_with_ids, new_entities, triples,
-            persist_candidates,
-        )
-        # thread RW state forward (small dimension delta)
-        add_pdf = bp.rw_delta()
-        if len(add_pdf):
-            rw_pdf = (
-                pd.concat([rw_pdf, add_pdf], ignore_index=True)
-                if len(rw_pdf)
-                else add_pdf
+    try:
+        for b in batch_ids:
+            if b in done:
+                continue
+            t0 = time.time()
+            tb = transcripts.filter(F.col("batch_id") == int(b)).repartition(
+                partitions, "conv_id", "turn_idx"  # turn_idx = skew salt
             )
-            next_rw_id = int(rw_pdf["id"].max()) + 1
+            nil_scored, clusters_with_ids, new_entities, triples = run_batch(
+                tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words,
+                encoder, retrieval_mode, kb_ro,
+            )
+            # S7 analogue: persist the enriched mention table per batch
+            # (reference pickles outdata per batch, eval_kbp.py:654-658);
+            # encodings/candidates are dropped — recomputable and dominate bytes.
+            bp = BatchPersist().start(
+                lake, nil_scored, clusters_with_ids, new_entities, triples,
+                persist_candidates,
+            )
+            # thread RW state forward (small dimension delta)
+            add_pdf = bp.rw_delta()
+            if len(add_pdf):
+                rw_pdf = (
+                    pd.concat([rw_pdf, add_pdf], ignore_index=True)
+                    if len(rw_pdf)
+                    else add_pdf
+                )
+                next_rw_id = int(rw_pdf["id"].max()) + 1
+            if pending is not None:
+                _drain(pending)
+                pending = None
+            # wall_s = compute wall (detect→cluster→ids→RW delta); the table
+            # writes drain during the NEXT batch's compute and are not charged
+            pending = (
+                int(b),
+                bp,
+                {
+                    "n_clusters": int(len(add_pdf)),
+                    "wall_s": round(time.time() - t0, 3),
+                },
+            )
         if pending is not None:
             _drain(pending)
-        # wall_s = compute wall (detect→cluster→ids→RW delta); the table
-        # writes drain during the NEXT batch's compute and are not charged
-        pending = (
-            int(b),
-            bp,
-            {
-                "n_clusters": int(len(add_pdf)),
-                "wall_s": round(time.time() - t0, 3),
-            },
-        )
-    if pending is not None:
-        _drain(pending)
+            pending = None
+    except BaseException:
+        # batch N+1's compute failed while batch N's writes were draining:
+        # join them and mark N if they succeeded (its work is valid and the
+        # prefix-resume will restart from N+1); swallow drain errors so the
+        # original failure propagates
+        if pending is not None:
+            try:
+                _drain(pending)
+            except Exception:
+                pass
+        raise
 
     if stats_rows:
         metrics_df = spark.createDataFrame(pd.DataFrame(stats_rows))
