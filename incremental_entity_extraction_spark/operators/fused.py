@@ -37,7 +37,7 @@ from incremental_entity_extraction_spark.operators.retrieval import (
     topk_candidates_kernel,
 )
 
-FUSED_SCHEMA = T.StructType(
+ENCODED_SCHEMA = T.StructType(
     [
         T.StructField("mention_id", T.StringType(), False),
         T.StructField("conv_id", T.StringType(), False),
@@ -48,8 +48,12 @@ FUSED_SCHEMA = T.StructType(
         T.StructField("context_left", T.StringType(), True),
         T.StructField("context_right", T.StringType(), True),
         T.StructField("encoding", T.ArrayType(T.FloatType()), False),
-        T.StructField("candidates", T.ArrayType(CANDIDATE_STRUCT), False),
     ]
+)
+
+FUSED_SCHEMA = T.StructType(
+    ENCODED_SCHEMA.fields
+    + [T.StructField("candidates", T.ArrayType(CANDIDATE_STRUCT), False)]
 )
 
 
@@ -134,3 +138,69 @@ def detect_encode_retrieve(
 
     cols = ["conv_id", "turn_idx", "batch_id", "text"]
     return transcripts.select(*cols).mapInPandas(_fused, schema=FUSED_SCHEMA)
+
+
+def detect_encode(
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    known_words: frozenset | None = None,
+    encoder=None,
+) -> DataFrame:
+    """Fused detect→encode WITHOUT retrieval — one Python hop for callers
+    that retrieve through a join/ANN stage instead of the shard broadcast
+    (run_batch retrieval_mode='ivf').  Same kernels and encoder contract as
+    ``detect_encode_retrieve``; output = ENCODED_SCHEMA."""
+    dim, norm, max_tok = cfg.dim, cfg.vector_norm, cfg.max_context_tokens
+
+    def _de(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kw = known_words
+        for pdf in batches:
+            rows = {
+                "mention_id": [], "conv_id": [], "turn_idx": [], "batch_id": [],
+                "start_tok": [], "mention": [], "context_left": [],
+                "context_right": [],
+            }
+            windows: list[list[str]] = []
+            weights: list[list[float]] = []
+            for conv_id, turn_idx, batch_id, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["batch_id"], pdf["text"]
+            ):
+                toks = tokenize(text)
+                spans = (
+                    detect_mentions_in_tokens(toks)
+                    if kw is None
+                    else detect_mentions_in_tokens(toks, kw)
+                )
+                for start, width, surface in spans:
+                    lt = toks[:start]
+                    rt = toks[start + width :]
+                    rows["mention_id"].append(f"{conv_id}:{turn_idx}:{start}")
+                    rows["conv_id"].append(conv_id)
+                    rows["turn_idx"].append(int(turn_idx))
+                    rows["batch_id"].append(int(batch_id))
+                    rows["start_tok"].append(start)
+                    rows["mention"].append(surface)
+                    rows["context_left"].append(" ".join(lt))
+                    rows["context_right"].append(" ".join(rt))
+                    w_toks, w_wts = window_from_tokens(
+                        lt, toks[start : start + width], rt, max_tok
+                    )
+                    windows.append(w_toks)
+                    weights.append(w_wts)
+            out = pd.DataFrame(rows)
+            if len(out) == 0:
+                continue
+            if encoder is None:
+                enc = encode_token_lists(windows, dim, norm, weights)
+            else:
+                enc = np.asarray(encoder(windows, weights), dtype=np.float32)
+                if enc.shape != (len(out), dim):
+                    raise ValueError(
+                        f"encoder returned shape {enc.shape}, expected "
+                        f"({len(out)}, {dim})"
+                    )
+            out["encoding"] = [r for r in enc]
+            yield out
+
+    cols = ["conv_id", "turn_idx", "batch_id", "text"]
+    return transcripts.select(*cols).mapInPandas(_de, schema=ENCODED_SCHEMA)

@@ -141,11 +141,8 @@ def run_batch(
     (``kb_ro_df`` + the RW delta) and candidates come from the distributed
     IVF engine — approximate, for entity dimensions beyond broadcast."""
     if retrieval_mode == "ivf":
-        from incremental_entity_extraction_spark.operators.encode import (
-            encode_mentions_df,
-        )
-        from incremental_entity_extraction_spark.operators.mentions import (
-            detect_mentions,
+        from incremental_entity_extraction_spark.operators.fused import (
+            detect_encode,
         )
         from incremental_entity_extraction_spark.operators.retrieval_ann import (
             retrieve_topk_ann,
@@ -161,8 +158,12 @@ def run_batch(
                     rw_pdf[["id", "indexer", "wikipedia_id", "title", "embedding"]]
                 )
             )
-        ments = detect_mentions(transcripts_batch, known_words)
-        enriched = retrieve_topk_ann(encode_mentions_df(ments, cfg), kb_df, cfg)
+        # one fused detect+encode hop (not two chained mapInPandas), then
+        # the distributed ANN join — the KB is never collected or broadcast
+        encoded = detect_encode(
+            transcripts_batch, cfg, known_words=known_words, encoder=encoder
+        )
+        enriched = retrieve_topk_ann(encoded, kb_df, cfg)
     else:
         shards = list(ro_shards)
         if len(rw_pdf):
