@@ -147,6 +147,81 @@ def sample_frames(
     ).mapInPandas(_frames, schema=frame_schema)
 
 
+def fake_decoder_2d(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for an image decode: payload bytes expanded to
+    a float32 (height, width) plane in [-1, 1).  Swap for PIL/libvips via
+    ``resize_images(decoder_2d=...)``."""
+    need = width * height * 4
+    chunks = []
+    block = 0
+    while need > 0:
+        h = blake2b(payload + block.to_bytes(4, "little"), digest_size=64)
+        chunks.append(h.digest())
+        need -= 64
+        block += 1
+    raw = np.frombuffer(
+        b"".join(chunks)[: width * height * 4], dtype="<i4"
+    ).astype(np.float32) / np.float32(2**31)
+    return raw.reshape(height, width)
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int = 16,
+    out_h: int = 16,
+    decoder_2d: Callable[[bytes, int, int], np.ndarray] = fake_decoder_2d,
+) -> DataFrame:
+    """Image rows -> (media_id, out_h·out_w pixel array) at the target size.
+
+    The decode is pluggable (faked by default — codec libs absent here);
+    the RESIZE is real: vectorized nearest-neighbor index sampling per Arrow
+    batch (cv2 INTER_NEAREST semantics — source pixel at
+    ``floor((i + 0.5) · src/dst)``), the batch shape a real PIL/libvips
+    decoder would feed.  Source dims come from ``meta.width/height``."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("out_w", T.IntegerType(), False),
+            T.StructField("out_h", T.IntegerType(), False),
+            T.StructField("pixels", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pix = [], []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                sw = int(w) if pd.notna(w) else 64
+                sh = int(h) if pd.notna(h) else 64
+                img = decoder_2d(bytes(payload), sw, sh)
+                rr = np.minimum(
+                    ((np.arange(out_h) + 0.5) * sh / out_h).astype(int), sh - 1
+                )
+                cc = np.minimum(
+                    ((np.arange(out_w) + 0.5) * sw / out_w).astype(int), sw - 1
+                )
+                ids.append(mid)
+                pix.append(img[np.ix_(rr, cc)].ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "pixels": pix,
+                }
+            )
+
+    prepared = media.filter(F.col("kind") == "image").select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return prepared.mapInPandas(_resize, schema=out_schema)
+
+
 def make_media_fixture(spark, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic synthetic media table (payload = seeded bytes)."""
     rng = np.random.default_rng(seed)

@@ -188,3 +188,30 @@ def test_cosine_topk_scan_matches_join_exactly(spark, embeddings):
     assert list(scan["neighbor_id"]) == list(join["neighbor_id"])
     assert list(scan["rank"]) == list(join["rank"])
     assert np.allclose(scan["cosine"], join["cosine"], atol=1e-5)
+
+
+def test_multimodal_resize(spark):
+    """Resize is a real nearest-neighbor kernel: with an injected known
+    gradient image, the sampled pixels are analytically predictable."""
+    media = multimodal.make_media_fixture(spark, n=9)
+
+    def gradient_decoder(payload, w, h):
+        # pixel value = row index (payload ignored) -> resize picks rows
+        return np.tile(np.arange(h, dtype=np.float32)[:, None], (1, w))
+
+    out = multimodal.resize_images(
+        media, out_w=4, out_h=4, decoder_2d=gradient_decoder
+    ).toPandas()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images
+    # source 64x64 -> rows sampled at floor((i+0.5)*16) = 8, 24, 40, 56
+    px = np.asarray(out["pixels"].iloc[0], dtype=np.float32).reshape(4, 4)
+    assert np.array_equal(px[:, 0], np.array([8, 24, 40, 56], dtype=np.float32))
+    # each output row is constant (gradient varies only by row)
+    assert (px == px[:, :1]).all()
+    # default fake decode path is deterministic
+    a = multimodal.resize_images(media, out_w=8, out_h=8).toPandas()
+    b = multimodal.resize_images(media, out_w=8, out_h=8).toPandas()
+    pa = [tuple(map(float, p)) for p in a.sort_values("media_id")["pixels"]]
+    pb = [tuple(map(float, p)) for p in b.sort_values("media_id")["pixels"]]
+    assert pa == pb
