@@ -215,3 +215,26 @@ def test_multimodal_resize(spark):
     pa = [tuple(map(float, p)) for p in a.sort_values("media_id")["pixels"]]
     pb = [tuple(map(float, p)) for p in b.sort_values("media_id")["pixels"]]
     assert pa == pb
+
+
+def test_ivf_hot_bucket_completes_and_finds_planted_pair(spark):
+    """90% of the corpus collapses into one IVF bucket (extreme centroid
+    skew): the cogroup path must still complete and return the planted
+    nearest neighbor for a query in the hot bucket."""
+    rng = np.random.default_rng(3)
+    hot_dir = rng.standard_normal(16).astype(np.float32)
+    hot_dir /= np.linalg.norm(hot_dir)
+    n_hot, n_cold = 1800, 200
+    hot = hot_dir + rng.standard_normal((n_hot, 16)).astype(np.float32) * 0.05
+    cold = rng.standard_normal((n_cold, 16)).astype(np.float32)
+    X = np.concatenate([hot, cold])
+    # planted twin of vector 0 at the end
+    X = np.concatenate([X, (X[0] + 1e-4).reshape(1, -1)])
+    corpus = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    q = corpus.filter(F.col("vec_id") == 0)
+    out = ivf_topk(q, corpus, k=3, n_centroids=8, n_probe=2).toPandas()
+    assert len(out) == 3
+    assert int(out[out["rank"] == 1]["neighbor_id"].iloc[0]) == len(X) - 1
