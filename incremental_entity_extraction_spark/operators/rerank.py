@@ -63,35 +63,46 @@ def rerank_crossencoder(
 
     def _rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            new_cands = []
+            # flatten ALL (mention, candidate) joint windows in the Arrow
+            # batch and encode ONCE per tower — encode_token_lists builds a
+            # unique-token vocab per call, so per-mention calls paid that
+            # Python overhead ~|mentions|× instead of 1×
+            q_windows, q_weights, e_windows, e_weights = [], [], [], []
+            rows_cands: list[list] = []
             for left, mention, right, cands in zip(
                 pdf["context_left"], pdf["mention"], pdf["context_right"],
                 pdf["candidates"],
             ):
                 cands = list(cands)[:m]
+                rows_cands.append(cands)
                 if not cands:
-                    new_cands.append([])
                     continue
-                # joint query windows: context window + candidate title tokens
-                q_windows, q_weights, e_windows, e_weights = [], [], [], []
                 base_toks, base_w = build_mention_window(
                     left or "", mention, right or "", max_ctx
                 )
                 for c in cands:
+                    # joint query window: context + candidate title tokens
                     t_toks = tokenize(c["title"])
                     q_windows.append(base_toks + t_toks)
                     q_weights.append(list(base_w) + [FOCUS_WEIGHT] * len(t_toks))
                     e_toks, e_w = build_entity_window(c["title"], "", max_ent)
                     e_windows.append(e_toks)
                     e_weights.append(e_w)
+            if q_windows:
                 q_enc = encode_token_lists(q_windows, dim, norm, q_weights)
                 e_enc = encode_token_lists(e_windows, dim, norm, e_weights)
-                scores = (q_enc * e_enc).sum(1)
-                order = sorted(
-                    range(len(cands)), key=lambda i: (-float(scores[i]), i)
-                )
+                flat_scores = (q_enc * e_enc).sum(1)
+            else:
+                flat_scores = np.zeros(0, dtype=np.float32)
+            new_cands = []
+            pos = 0
+            for cands in rows_cands:
+                n = len(cands)
+                s = flat_scores[pos : pos + n]
+                pos += n
+                order = sorted(range(n), key=lambda i: (-float(s[i]), i))
                 new_cands.append(
-                    [{**dict(cands[i]), "cross_score": float(scores[i])} for i in order]
+                    [{**dict(cands[i]), "cross_score": float(s[i])} for i in order]
                 )
             out = pdf[in_cols].copy()
             out["candidates"] = new_cands
