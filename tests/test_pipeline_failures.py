@@ -51,3 +51,24 @@ def test_failed_later_batch_keeps_earlier_lineage_and_resumes(
     )
     assert sorted(flaky_lake.completed_batches()) == [0, 1, 2, 3]
     assert _triples_set(spark, flaky_lake) == want
+
+
+def test_two_fresh_runs_are_byte_identical(spark, spark_world, cfg, tmp_path):
+    """Determinism contract: same input, two fresh lakes -> identical triple
+    sets AND identical new-entity id assignments (no task-scheduling order
+    leaking into results)."""
+    lakes = []
+    for name in ("a", "b"):
+        lake = pl.Lake(str(tmp_path / name))
+        pl.run_incremental(
+            spark, spark_world["transcripts"], spark_world["entities_kb"], lake,
+            cfg, cluster_mode="cc",
+        )
+        lakes.append(lake)
+    ta, tb = (_triples_set(spark, lk) for lk in lakes)
+    assert ta == tb
+    ids = []
+    for lk in lakes:
+        ne = spark.read.parquet(lk.path("new_entities")).toPandas()
+        ids.append(sorted(zip(ne["id"], ne["title"])))
+    assert ids[0] == ids[1]
