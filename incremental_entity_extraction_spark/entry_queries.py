@@ -1337,6 +1337,52 @@ def q41_sql():
     """
 
 
+def q42_minhash_oracle(spark, sf_dir):
+    """ORACLE-CHECKED MinHash: the signature-agreement Jaccard estimator
+    over a cross-engine hash family (60-bit sha256 prefix) must match
+    DuckDB computing the same minima and agreements relationally — the
+    estimator MATH of the production MinHash path, hash-for-hash."""
+    from incremental_entity_extraction_spark.operators.dedup import (
+        minhash_est_pairs_sha,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = minhash_est_pairs_sha(d, "doc_id", "text", n=2, num_hashes=16,
+                                  threshold=0.3)
+    return pairs.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q42_sql():
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> length(x) > 0) AS ts
+          FROM documents WHERE doc_id < 300
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(ts[i:i+1], ' ') AS shingle
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ts) - 1, 1))) AS i) g
+          WHERE len(ts) > 0
+        ), seeds AS (
+          SELECT unnest(generate_series(0, 15)) AS seed
+        ), mins AS (
+          SELECT doc_id, seed,
+                 min(('0x' || substr(sha256(shingle || '#' || cast(seed AS varchar)), 1, 15))::BIGINT) AS mn
+          FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+        ), est AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 avg(CASE WHEN a.mn = b.mn THEN 1.0 ELSE 0.0 END) AS est_jaccard
+          FROM mins a JOIN mins b ON a.seed = b.seed AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+        FROM est WHERE est_jaccard >= 0.3
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1382,6 +1428,7 @@ QUERIES = {
     "q39_contiguous_ids": q39_contiguous_ids,
     "q40_cosine_topk_scan": q40_cosine_topk_scan,
     "q41_b3_clustering_metric": q41_b3_clustering_metric,
+    "q42_minhash_oracle": q42_minhash_oracle,
 }
 
 ORACLE_SQL = {
@@ -1416,4 +1463,5 @@ ORACLE_SQL = {
     # crossjoin engine exactly (also asserted pairwise in pytest)
     "q40_cosine_topk_scan": q22_sql(),
     "q41_b3_clustering_metric": q41_sql(),
+    "q42_minhash_oracle": q42_sql(),
 }

@@ -203,6 +203,61 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_est_pairs_sha(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 16,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """ORACLE-FORM MinHash: pairwise Jaccard estimates from a hash family
+    computable identically in any SQL engine — h_s(shingle) = the 60-bit
+    hex prefix of sha256(shingle || '#' || s) (Spark: conv(substring(sha2),
+    16, 10); DuckDB: ('0x' || substr(sha256(...)))::BIGINT).
+
+    Emits (id_a, id_b, est_jaccard) for signature agreement >= threshold
+    via per-(doc, seed) minima + an all-pairs join over the seed axis —
+    the brute cross-checkable twin of the production xxhash64 + banded-LSH
+    path (``minhash_signatures``/``minhash_lsh_pairs``); use on bounded doc
+    sets (the production path is the scale path)."""
+    spark = df.sparkSession
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("shingle")
+    )
+    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string")), 256),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    mins = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("id", "seed")
+        .agg(F.min(h).alias("mn"))
+    )
+    a = mins.alias("a")
+    b = mins.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.avg(
+                F.when(F.col("a.mn") == F.col("b.mn"), 1.0).otherwise(0.0)
+            ).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
