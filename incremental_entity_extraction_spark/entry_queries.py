@@ -1383,6 +1383,69 @@ def q42_sql():
     """
 
 
+def q43_emb_lsh_oracle(spark, sf_dir):
+    """ORACLE-CHECKED sign-projection LSH: sha-derived planes make the
+    bucket assignment engine-independent, so DuckDB reproduces the exact
+    buckets, candidate pairs, and cosine survivors relationally."""
+    from incremental_entity_extraction_spark.operators.dedup import (
+        embedding_near_dup_pairs_oracle,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    # threshold 0.25: the synthetic embeddings have no true near-dups, so a
+    # high cutoff passes vacuously (0 rows); 0.25 keeps a stable tail of
+    # same-bucket pairs that actually exercises the bucket equivalence
+    pairs = embedding_near_dup_pairs_oracle(
+        e, "vec_id", "embedding", threshold=0.25, n_planes=8
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q43_sql():
+    return """
+        WITH planes AS (
+          SELECT d.d AS d, p.p AS p,
+                 ('0x' || substr(sha256(cast(d.d AS varchar) || '#' ||
+                                        cast(p.p AS varchar)), 1, 15))::BIGINT
+                   / 576460752303423488.0 - 1.0 AS val
+          FROM (SELECT unnest(generate_series(0, 63)) AS d) d,
+               (SELECT unnest(generate_series(0, 7)) AS p) p
+        ), vecs AS (
+          -- cast to DOUBLE: f32 accumulation (list_dot_product) carries
+          -- ~1e-6 noise, enough to flip 4-decimal rounding vs the f64 Spark
+          -- kernel; explicit double sums agree to ~1e-15
+          SELECT vec_id, cast(e.val AS double) AS v, e.i - 1 AS d
+          FROM embeddings, LATERAL (
+            SELECT unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS i) e
+        ), dots AS (
+          SELECT vec_id, p, sum(v * val) AS dot
+          FROM vecs JOIN planes USING (d) GROUP BY vec_id, p
+        ), buckets AS (
+          SELECT vec_id,
+                 sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+          FROM dots GROUP BY vec_id
+        ), cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), norms AS (
+          SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM vecs GROUP BY vec_id
+        ), pd AS (
+          SELECT c.id_a, c.id_b, sum(va.v * vb.v) AS dot
+          FROM cand c
+          JOIN vecs va ON va.vec_id = c.id_a
+          JOIN vecs vb ON vb.vec_id = c.id_b AND vb.d = va.d
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+        FROM pd
+        JOIN norms na ON na.vec_id = id_a
+        JOIN norms nb ON nb.vec_id = id_b
+        WHERE dot / (na.nrm * nb.nrm) >= 0.25
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1429,6 +1492,7 @@ QUERIES = {
     "q40_cosine_topk_scan": q40_cosine_topk_scan,
     "q41_b3_clustering_metric": q41_b3_clustering_metric,
     "q42_minhash_oracle": q42_minhash_oracle,
+    "q43_emb_lsh_oracle": q43_emb_lsh_oracle,
 }
 
 ORACLE_SQL = {
@@ -1464,4 +1528,5 @@ ORACLE_SQL = {
     "q40_cosine_topk_scan": q22_sql(),
     "q41_b3_clustering_metric": q41_sql(),
     "q42_minhash_oracle": q42_sql(),
+    "q43_emb_lsh_oracle": q43_sql(),
 }

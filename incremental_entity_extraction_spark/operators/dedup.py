@@ -426,6 +426,96 @@ def embedding_near_dup_pairs(
     )
 
 
+def sha_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic projection planes computable in ANY engine:
+    plane[d, p] = hex60(sha256(f"{d}#{p}")) / 2^59 - 1  (uniform in [-1, 1)).
+    Lets a SQL oracle reproduce sign-projection LSH buckets bit-for-bit."""
+    import hashlib
+
+    M = np.empty((dim, n_planes), dtype=np.float64)
+    for d in range(dim):
+        for p in range(n_planes):
+            h = hashlib.sha256(f"{d}#{p}".encode()).hexdigest()[:15]
+            M[d, p] = int(h, 16) / float(1 << 59) - 1.0
+    return M
+
+
+def embedding_near_dup_pairs_oracle(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.8,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """ORACLE-FORM sign-projection near-dup: sha-derived planes
+    (``sha_planes``) + float64 dots/cosines, so a relational engine computes
+    the identical buckets and survivors.  The production path is
+    ``embedding_near_dup_pairs`` (seeded Gaussian planes, f32 kernels,
+    multi-table recall); this twin exists so the LSH bucketing SEMANTICS are
+    oracle-verified, not just sampled."""
+    spark = df.sparkSession
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+        dim = first["d"]
+    P = sha_planes(dim, n_planes)
+    bc = spark.sparkContext.broadcast(P)
+
+    bucket_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("bucket", T.LongType(), False),
+            T.StructField("vec", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def _bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Pm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            signs = (X @ Pm) > 0
+            buckets = signs @ (1 << np.arange(Pm.shape[1], dtype=np.int64))
+            yield pd.DataFrame(
+                {"id": pdf["id"], "bucket": buckets, "vec": list(pdf["vec"])}
+            )
+
+    bucketed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(_bucket, schema=bucket_schema)
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def _verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        S = Xn @ Xn.T
+        ids = pdf["id"].to_numpy()
+        ii, jj = np.where(np.triu(S >= threshold, k=1))
+        lo = np.minimum(ids[ii], ids[jj])
+        hi = np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": S[ii, jj]})
+
+    return (
+        bucketed.groupBy("bucket")
+        .applyInPandas(_verify, schema=pair_schema)
+        .distinct()
+    )
+
+
 def dedup_connected_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Collapse near-dup pairs into groups: (id, canonical_id) via
     large-star/small-star CC (O(log n) rounds regardless of diameter —
