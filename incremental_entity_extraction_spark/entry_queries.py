@@ -1446,6 +1446,49 @@ def q43_sql():
     """
 
 
+def q44_simhash_oracle(spark, sf_dir):
+    """ORACLE-CHECKED SimHash: 16-bit signatures over the cross-engine
+    sha256 token-hash family, plus all-pairs Hamming survivors — DuckDB
+    recomputes the identical bit math relationally."""
+    from incremental_entity_extraction_spark.operators.dedup import (
+        simhash_signatures_sha,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sigs = simhash_signatures_sha(d, "doc_id", "text", bits=16)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def q44_sql():
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+                 ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS h
+          FROM ({_SQL_TOKS}) WHERE doc_id < 300
+        ), bits AS (
+          SELECT doc_id, b.b AS b,
+                 sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b
+          GROUP BY doc_id, b.b
+        ), sig AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+          FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1493,6 +1536,7 @@ QUERIES = {
     "q41_b3_clustering_metric": q41_b3_clustering_metric,
     "q42_minhash_oracle": q42_minhash_oracle,
     "q43_emb_lsh_oracle": q43_emb_lsh_oracle,
+    "q44_simhash_oracle": q44_simhash_oracle,
 }
 
 ORACLE_SQL = {
@@ -1529,4 +1573,5 @@ ORACLE_SQL = {
     "q41_b3_clustering_metric": q41_sql(),
     "q42_minhash_oracle": q42_sql(),
     "q43_emb_lsh_oracle": q43_sql(),
+    "q44_simhash_oracle": q44_sql(),
 }

@@ -307,6 +307,34 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).mapInPandas(_simhash, schema=out_schema)
 
 
+def simhash_signatures_sha(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """ORACLE-FORM SimHash: pure column expressions over the cross-engine
+    sha256 token-hash family (60-bit hex prefix), so a SQL engine computes
+    the identical signatures.  Whole-stage codegen, no UDF: explode tokens
+    (with multiplicity), per-bit ±1 sums in one aggregate, bit assembly in
+    the projection.  The production 64-bit blake2b path is
+    ``simhash_signatures``; this twin oracle-verifies the SEMANTICS."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10).cast("long")
+    t = toks.withColumn("h", h)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = t.groupBy("id").agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.cast("long").alias("simhash"))
+
+
 def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Candidate pairs via 4×16-bit chunk banding (any pair within Hamming
     distance 3 shares at least one exact 16-bit chunk), verified exactly."""
