@@ -238,3 +238,22 @@ def test_ivf_hot_bucket_completes_and_finds_planted_pair(spark):
     out = ivf_topk(q, corpus, k=3, n_centroids=8, n_probe=2).toPandas()
     assert len(out) == 3
     assert int(out[out["rank"] == 1]["neighbor_id"].iloc[0]) == len(X) - 1
+
+
+def test_sha_sketch_twins_agree_with_truth(spark, docs):
+    """The oracle-form sketches must behave like sketches: identical docs
+    estimate Jaccard 1.0 / Hamming 0; unrelated docs score low."""
+    from incremental_entity_extraction_spark.operators.dedup import (
+        minhash_est_pairs_sha,
+        simhash_signatures_sha,
+    )
+
+    est = minhash_est_pairs_sha(
+        docs, "doc_id", "text", n=3, num_hashes=16, threshold=0.0
+    ).toPandas().set_index(["id_a", "id_b"])
+    assert est.loc[(0, 1), "est_jaccard"] == 1.0          # identical docs
+    assert est.loc[(0, 3), "est_jaccard"] < 0.5 if (0, 3) in est.index else True
+
+    sigs = simhash_signatures_sha(docs, "doc_id", "text").toPandas().set_index("id")
+    assert sigs.loc[0, "simhash"] == sigs.loc[1, "simhash"]
+    assert sigs.loc[0, "simhash"] != sigs.loc[3, "simhash"]
