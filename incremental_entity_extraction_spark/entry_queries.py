@@ -1489,6 +1489,53 @@ def q44_sql():
     """
 
 
+def q45_ngram_jaccard_capped(spark, sf_dir):
+    """ORACLE-CHECKED df_cap semantics: capped-universe Jaccard (stop-
+    shingles with document frequency >= cap dropped from BOTH the inverted
+    index and the per-doc sizes) must match DuckDB applying the same cap
+    relationally — verifying the skew fix's exact semantics, not just its
+    speed."""
+    from incremental_entity_extraction_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.15, df_cap=5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q45_sql():
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> length(x) > 0) AS ts
+          FROM documents WHERE doc_id < 300
+        ), sh0 AS (
+          SELECT DISTINCT doc_id, array_to_string(ts[i:i+1], ' ') AS shingle
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ts) - 1, 1))) AS i) g
+          WHERE len(ts) > 0
+        ), keep AS (
+          SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) < 5
+        ), sh AS (
+          SELECT doc_id, shingle FROM sh0 JOIN keep USING (shingle)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.15
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1537,6 +1584,7 @@ QUERIES = {
     "q42_minhash_oracle": q42_minhash_oracle,
     "q43_emb_lsh_oracle": q43_emb_lsh_oracle,
     "q44_simhash_oracle": q44_simhash_oracle,
+    "q45_ngram_jaccard_capped": q45_ngram_jaccard_capped,
 }
 
 ORACLE_SQL = {
@@ -1574,4 +1622,5 @@ ORACLE_SQL = {
     "q42_minhash_oracle": q42_sql(),
     "q43_emb_lsh_oracle": q43_sql(),
     "q44_simhash_oracle": q44_sql(),
+    "q45_ngram_jaccard_capped": q45_sql(),
 }

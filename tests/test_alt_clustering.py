@@ -97,3 +97,27 @@ def test_alt_engines_end_to_end(spark, spark_world, world, oracle_result, cfg, t
         assert g == e, f"{pred} triples diverged under {mode}"
     # member_of count preserved (every NIL mention assigned to one cluster)
     assert (got.pred == "member_of").sum() == (exp.pred == "member_of").sum()
+
+
+def test_pipeline_e2e_with_alt_cluster_modes(spark, spark_world, cfg, tmp_path):
+    """three_step and tfidf run end-to-end through the incremental driver:
+    every batch completes, all lake tables land, and every NIL mention gets
+    exactly one cluster assignment."""
+    from pyspark.sql import functions as F
+
+    from incremental_entity_extraction_spark.pipeline import Lake, run_incremental
+
+    for mode in ("three_step", "tfidf"):
+        lake = Lake(str(tmp_path / mode))
+        stats = run_incremental(
+            spark, spark_world["transcripts"], spark_world["entities_kb"], lake,
+            cfg, cluster_mode=mode,
+        )
+        assert [s["batch_id"] for s in stats] == [0, 1, 2, 3]
+        m = spark.read.parquet(lake.path("mentions"))
+        n_nil = m.filter(F.col("is_nil")).count()
+        pc = spark.read.parquet(lake.path("prev_clusters"))
+        assigned = pc.select(F.explode("mentions_id").alias("mention_id"))
+        assert assigned.count() == n_nil
+        assert assigned.distinct().count() == n_nil
+        assert spark.read.parquet(lake.path("triples")).count() > 0
