@@ -543,6 +543,13 @@ def connected_components_star(
         if cur == prev_sig:
             break
         prev_sig = cur
+    else:
+        # Same failure contract as connected_components: unconverged labels
+        # would silently fragment clusters downstream.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "star rounds; raise max_iter (O(log n) rounds expected)"
+        )
     labels = e.groupBy("src").agg(F.min("dst").alias("mv"))
     labels = labels.select(
         F.col("src").alias("mention_id"),

@@ -38,7 +38,7 @@ def retrieve_topk_ann(
     mentions: DataFrame,
     kb_df: DataFrame,
     cfg: PipelineConfig,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,  # None → ivf_topk derives ≈ sqrt(|KB|)
     n_probe: int = 8,
     seed: int = 11,
 ) -> DataFrame:
@@ -51,8 +51,23 @@ def retrieve_topk_ann(
         F.xxhash64("mention_id").alias("vec_id"),
         F.col("encoding").alias("embedding"),
     )
+    # Guard the composite-key assumption at runtime: a row violating it would
+    # silently decode to the wrong entity.  raise_error is evaluated JVM-side
+    # per row — no extra action, negligible cost next to the dot products.
+    checked_id = F.when(
+        (F.col("id") < 0) | (F.col("id") >= F.lit(_IDX_SHIFT)) | (F.col("indexer") < 0),
+        F.raise_error(
+            F.concat(
+                F.lit("retrieve_topk_ann: kb id/indexer outside composite-key "
+                      "range [0, 2^40): id="),
+                F.col("id").cast("string"),
+                F.lit(" indexer="),
+                F.col("indexer").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("id").cast("long"))
     corpus = kb_df.select(
-        (F.col("indexer").cast("long") * F.lit(_IDX_SHIFT) + F.col("id")).alias(
+        (F.col("indexer").cast("long") * F.lit(_IDX_SHIFT) + checked_id).alias(
             "vec_id"
         ),
         F.col("embedding"),

@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import math
+import warnings
 from collections.abc import Iterator
 
 import numpy as np
@@ -256,13 +258,14 @@ def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
     exclude_self: bool = True,
     train_size: int = 100_000,
+    hot_bucket_bytes: int = 512 << 20,
 ) -> DataFrame:
     """IVF ANN, fully distributed — nothing corpus-sized ever reaches the
     driver or a broadcast:
@@ -279,20 +282,45 @@ def ivf_topk(
     5. a window over query_id keeps the global top-k.
 
     Scan cost scales by ``n_probe/n_centroids`` at a small recall cost
-    (tested >= 0.9 vs exact).  Hot buckets are bounded by k-means balance;
-    if one outgrows a task, raise ``n_centroids`` (or salt the corpus side
-    and probe all salts)."""
+    (tested >= 0.9 vs exact).
+
+    ``n_centroids=None`` (the default) derives ``≈ sqrt(n)`` from the corpus
+    count, clamped to [4, 4096] — the classic IVF sizing that keeps expected
+    bucket size ≈ sqrt(n) rows at any scale, instead of a fixed constant
+    whose buckets grow linearly with the corpus.  After centroid training
+    the TRAINING SAMPLE's bucket histogram (already driver-side — no extra
+    job) estimates the largest bucket; if that estimate exceeds
+    ``hot_bucket_bytes`` (default 512 MB — a comfortable single-task bound)
+    a warning names the bucket and the fix (raise ``n_centroids``, or salt
+    the corpus side and probe all salts)."""
     spark = queries.sparkSession
     cvec = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     n = cvec.count()
     if n == 0:
         return spark.createDataFrame([], _TOPK_SCHEMA)
+    if n_centroids is None:
+        n_centroids = max(4, min(math.isqrt(n), 4096))
     frac = min(1.0, train_size / n)
     sample = cvec.sample(False, frac, seed).select("vec") if frac < 1.0 else cvec.select("vec")
     X = np.stack(
         [np.asarray(v, dtype=np.float32) for v in sample.toPandas()["vec"]]
     )
     C = kmeans_centroids(X, n_centroids, seed=seed)
+    # hot-bucket estimate from the training sample (free: X is on the driver)
+    sample_assign = np.argmax(_normalize(X.astype(np.float32)) @ C.T, axis=1)
+    counts = np.bincount(sample_assign, minlength=len(C))
+    hot = int(counts.argmax())
+    est_rows = counts[hot] / len(X) * n
+    est_bytes = est_rows * X.shape[1] * 4
+    if est_bytes > hot_bucket_bytes:
+        warnings.warn(
+            f"ivf_topk: hottest bucket {hot} holds ~{counts[hot] / len(X):.0%} "
+            f"of the corpus (≈{est_rows:,.0f} rows, ≈{est_bytes / 2**20:,.0f} MB "
+            f"> {hot_bucket_bytes / 2**20:,.0f} MB task bound). Raise "
+            "n_centroids, or salt the corpus side and probe all salts.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     bc = spark.sparkContext.broadcast(C)
 
     bucketed_schema = T.StructType(

@@ -46,7 +46,6 @@ def punct_ratio(text: Column | str) -> Column:
 def stopword_ratio(text: Column | str) -> Column:
     toks = tokens_col(text)
     stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    n_stop = F.size(F.array_intersect(toks, stop))  # distinct-stopword count
     # exact ratio over occurrences: filter membership
     occ = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
     return occ / F.greatest(F.size(toks), F.lit(1))

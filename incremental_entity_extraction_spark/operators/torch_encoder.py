@@ -52,16 +52,25 @@ def make_torch_encoder(
     def _encode(windows, weights):
         import torch
 
+        from sentence_transformers import SentenceTransformer
+
         key = (model_name, device)
         if key not in _MODELS:
-            # executor-local singleton: load once per worker process
-            _MODELS[key] = torch.load(model_name, map_location=device)  # or HF load
+            # executor-local singleton: load once per worker process.
+            # SentenceTransformer resolves HF hub names / local dirs and
+            # provides .encode(); raw torch.load() does neither.
+            _MODELS[key] = SentenceTransformer(model_name, device=device)
         model = _MODELS[key]
         texts = [" ".join(w) for w in windows]
         out = np.empty((len(texts), dim), dtype=np.float32)
         with torch.inference_mode():
             for i in range(0, len(texts), batch_size):
-                emb = model.encode(texts[i : i + batch_size])
+                emb = model.encode(
+                    texts[i : i + batch_size],
+                    batch_size=batch_size,
+                    convert_to_numpy=True,
+                    normalize_embeddings=False,
+                )
                 out[i : i + batch_size] = np.asarray(emb, dtype=np.float32)
         # contract: L2-norm to vector_norm so dot = norm² · cosine
         norms = np.linalg.norm(out, axis=1, keepdims=True)

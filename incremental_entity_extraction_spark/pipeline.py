@@ -341,9 +341,18 @@ def run_incremental(
     deleted_entity_ids: set[int] | None = None,
     encoder=None,
     retrieval_mode: str = "broadcast",
+    single_batch: bool = False,
 ) -> list[dict]:
     """Loop over batch_id in ascending order, threading KB state through the
     lake; resumable via the lineage table.
+
+    ``single_batch=True`` is the reference's ``--no-incremental`` mode
+    (scripts/eval_kbp.py:773-785, which concatenates every batch into one):
+    all rows are mapped to batch_id 0 and the pipeline makes exactly ONE
+    pass — one RW state, one lineage row.  With an empty KB delta the
+    emitted triples are identical to the incremental run (pytest-asserted);
+    they diverge exactly when later batches would have linked against
+    entities discovered in earlier ones, which is the point of the flag.
 
     ``deleted_entity_ids`` are KB tombstones: the reference indexer returns
     dummy score=-1000 candidates when an entity's vector outlives its
@@ -356,6 +365,10 @@ def run_incremental(
     dels = sorted(int(i) for i in deleted_entity_ids) if deleted_entity_ids else []
     if dels:
         kb_ro = kb_ro.filter(~F.col("id").isin(dels))
+    if single_batch:
+        transcripts = transcripts.withColumn(
+            "batch_id", F.lit(0).cast(transcripts.schema["batch_id"].dataType)
+        )
     # ivf mode never collects the KB — that is its point
     ro_shards = build_kb_shards(kb_ro, n_shards) if retrieval_mode == "broadcast" else []
     if partitions is None:
@@ -407,7 +420,7 @@ def run_incremental(
     # (tiny) RW delta, which BatchPersist.rw_delta() returns immediately.
     # Lineage is marked strictly after finish(), so a crash mid-overlap
     # leaves batch N unmarked and the prefix-resume re-runs it idempotently.
-    pending: tuple[int, BatchPersist, dict, float] | None = None
+    pending: tuple[int, BatchPersist, dict] | None = None
 
     def _drain(p) -> None:
         b_prev, bp_prev, extra = p

@@ -10,12 +10,19 @@ Each positional argument is treated as one conversation turn.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 sys.path.insert(0, ".")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 
 def main() -> None:
+    # refuse to run against a stale --py-files artifact
+    from tools.make_pyfiles_zip import require_fresh_zip
+
+    require_fresh_zip()
     p = argparse.ArgumentParser()
     p.add_argument("--kb", help="entities parquet (default: built-in fixture KB)")
     p.add_argument("--top-k", type=int, default=3)

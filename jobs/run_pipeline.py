@@ -21,9 +21,23 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+
+def _refuse_stale_zip() -> None:
+    """Hard-error if dist/iees.zip exists but differs from the source tree —
+    a spark-submit --py-files run would otherwise silently execute old code."""
+    from tools.make_pyfiles_zip import require_fresh_zip
+
+    require_fresh_zip()
 
 
 def main() -> None:
+    _refuse_stale_zip()
     p = argparse.ArgumentParser()
     p.add_argument("--transcripts", required=True)
     p.add_argument("--kb", required=True)
@@ -31,6 +45,11 @@ def main() -> None:
     p.add_argument("--cluster-mode", default="cc")
     p.add_argument("--n-shards", type=int, default=1)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--no-incremental", action="store_true",
+        help="one-pass mode (reference eval_kbp.py --no-incremental): fold "
+        "every batch into a single pass — one RW state, one lineage row",
+    )
     p.add_argument(
         "--retrieval-mode", default="broadcast", choices=["broadcast", "ivf"],
         help="'ivf' keeps the KB distributed (no broadcast) — for entity "
@@ -67,6 +86,7 @@ def main() -> None:
         retrieval_mode=args.retrieval_mode,
         persist_candidates=args.persist_candidates,
         deleted_entity_ids=set(args.delete_entity) or None,
+        single_batch=args.no_incremental,
     )
     print(json.dumps({"completed_batches": stats}))
     spark.stop()

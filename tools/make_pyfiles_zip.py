@@ -1,28 +1,97 @@
-"""Build dist/iees.zip for spark-submit --py-files."""
+"""Build (or verify) dist/iees.zip for spark-submit --py-files.
+
+A stale zip silently ships old code to every executor, so the jobs/*.py
+entry points call :func:`check_zip` on startup and refuse to run when the
+zip bytes differ from the source tree.  Rebuild with::
+
+    python tools/make_pyfiles_zip.py            # (re)build dist/iees.zip
+    python tools/make_pyfiles_zip.py --check    # exit 1 if stale/missing
+"""
 
 from __future__ import annotations
 
 import os
+import sys
 import zipfile
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = "incremental_entity_extraction_spark"
+ZIP_PATH = os.path.join(ROOT, "dist", "iees.zip")
 
 
-def main() -> str:
-    out_dir = os.path.join(ROOT, "dist")
-    os.makedirs(out_dir, exist_ok=True)
-    out = os.path.join(out_dir, "iees.zip")
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
-        for dirpath, _dirnames, filenames in os.walk(os.path.join(ROOT, PKG)):
-            if "__pycache__" in dirpath:
-                continue
-            for fn in sorted(filenames):
-                if fn.endswith(".py"):
-                    full = os.path.join(dirpath, fn)
-                    z.write(full, os.path.relpath(full, ROOT))
-    print(out)
-    return out
+def source_entries(root: str = ROOT) -> dict[str, bytes]:
+    """arcname -> file bytes for every package .py in the working tree."""
+    entries: dict[str, bytes] = {}
+    for dirpath, _dirnames, filenames in os.walk(os.path.join(root, PKG)):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                with open(full, "rb") as f:
+                    entries[os.path.relpath(full, root)] = f.read()
+    return entries
+
+
+def check_zip(zip_path: str = ZIP_PATH, root: str = ROOT) -> list[str]:
+    """Return a list of human-readable mismatches between the zip and the
+    source tree (empty == in sync).  A missing zip is NOT a mismatch — only
+    an existing-but-stale artifact can silently ship old code."""
+    if not os.path.exists(zip_path):
+        return []
+    expected = source_entries(root)
+    problems: list[str] = []
+    with zipfile.ZipFile(zip_path) as z:
+        names = set(z.namelist())
+        for arc, body in expected.items():
+            arc_posix = arc.replace(os.sep, "/")
+            if arc_posix not in names:
+                problems.append(f"missing from zip: {arc_posix}")
+            elif z.read(arc_posix) != body:
+                problems.append(f"differs from source: {arc_posix}")
+        for extra in sorted(names - {a.replace(os.sep, "/") for a in expected}):
+            if extra.endswith(".py"):
+                problems.append(f"not in source tree: {extra}")
+    return problems
+
+
+def require_fresh_zip(zip_path: str = ZIP_PATH, root: str = ROOT) -> None:
+    """Hard-fail when dist/iees.zip exists but is out of sync with the tree.
+
+    Called by jobs/run_pipeline.py and jobs/link_text.py before any Spark
+    work so a spark-submit --py-files run can never execute stale code."""
+    problems = check_zip(zip_path, root)
+    if problems:
+        detail = "\n  ".join(problems[:20])
+        raise SystemExit(
+            f"{zip_path} is STALE relative to the source tree "
+            f"({len(problems)} mismatched entries):\n  {detail}\n"
+            "Rebuild it first: python tools/make_pyfiles_zip.py"
+        )
+
+
+def build(zip_path: str = ZIP_PATH, root: str = ROOT) -> str:
+    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for arc, body in source_entries(root).items():
+            z.writestr(arc.replace(os.sep, "/"), body)
+    return zip_path
+
+
+def main() -> None:
+    if "--check" in sys.argv[1:]:
+        if not os.path.exists(ZIP_PATH):
+            print(f"{ZIP_PATH}: absent (nothing to check; build it first)")
+            raise SystemExit(1)
+        problems = check_zip()
+        if problems:
+            print(f"{ZIP_PATH}: STALE ({len(problems)} mismatches)")
+            for pr in problems:
+                print(f"  {pr}")
+            raise SystemExit(1)
+        print(f"{ZIP_PATH}: in sync with source tree")
+        return
+    print(build())
 
 
 if __name__ == "__main__":
