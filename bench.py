@@ -38,6 +38,10 @@ BENCH_HOT = int(os.environ.get("SPARK_GRAFT_BENCH_HOT", "16000"))
 BENCH_ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "50000"))
 BENCH_DIM = int(os.environ.get("SPARK_GRAFT_BENCH_DIM", "256"))
 BENCH_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "1"))
+# fraction of entities that are NIL (drive the clustering stage's load):
+# default 0.005 keeps the round-1/2 world byte-comparable; raise it to make
+# star-CC a first-order cost in the cc-mode scaling legs
+BENCH_NILFRAC = float(os.environ.get("SPARK_GRAFT_BENCH_NILFRAC", "0.005"))
 
 BENCH_QUERIES = [
     "q02_group_agg_stats",
@@ -56,7 +60,19 @@ BENCH_QUERIES = [
 ]
 
 
-def run_documents_pipeline(cores: int, sf_dir: str) -> tuple[float, int, int]:
+def _loadavg() -> list[float]:
+    """1/5/15-minute host load — recorded so a reviewer can separate engine
+    changes from co-tenant noise in the headline numbers."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
+def run_documents_pipeline(
+    cores: int, sf_dir: str, cluster_mode: str = "greedy_replay"
+) -> tuple[float, int, int]:
     """Flagship run over documents-derived transcripts; returns
     (wall_s, n_turns, n_triples)."""
     from incremental_entity_extraction_spark.config import DEFAULT_CONFIG as CFG
@@ -78,7 +94,7 @@ def run_documents_pipeline(cores: int, sf_dir: str) -> tuple[float, int, int]:
     t0 = time.time()
     run_incremental(
         spark, transcripts, kb, lake, CFG,
-        cluster_mode="greedy_replay", known_words=KG_STOPWORDS,
+        cluster_mode=cluster_mode, known_words=KG_STOPWORDS,
     )
     wall = time.time() - t0
     n_triples = spark.read.parquet(lake.path("triples")).count()
@@ -101,7 +117,9 @@ def prepare_scaling_world(work_dir: str) -> tuple[str, str, int]:
 
     cfg = replace(DEFAULT_CONFIG, dim=BENCH_DIM)
     spark = get_spark(cores=CPUS, app_name="bench-gen")
-    entities_all, kb_pdf = make_entities_pdf(BENCH_ENTITIES, cfg=cfg)
+    entities_all, kb_pdf = make_entities_pdf(
+        BENCH_ENTITIES, nil_frac=BENCH_NILFRAC, cfg=cfg
+    )
     tdf = spark_transcripts(
         spark, entities_all, n_convs=BENCH_CONVS, hot_turns=BENCH_HOT,
         n_batches=BENCH_BATCHES,
@@ -115,7 +133,9 @@ def prepare_scaling_world(work_dir: str) -> tuple[str, str, int]:
     return t_path, kb_path, n_turns
 
 
-def run_scaling_pipeline(cores: int, t_path: str, kb_path: str) -> float:
+def run_scaling_pipeline(
+    cores: int, t_path: str, kb_path: str, cluster_mode: str = "cc"
+) -> float:
     from dataclasses import replace
 
     from incremental_entity_extraction_spark.config import DEFAULT_CONFIG
@@ -130,7 +150,7 @@ def run_scaling_pipeline(cores: int, t_path: str, kb_path: str) -> float:
     warm_python_workers(spark)  # exclude worker-pool startup from throughput
     t0 = time.time()
     run_incremental(
-        spark, transcripts, kb, Lake(lake_dir), cfg, cluster_mode="greedy_replay"
+        spark, transcripts, kb, Lake(lake_dir), cfg, cluster_mode=cluster_mode
     )
     wall = time.time() - t0
     shutil.rmtree(lake_dir, ignore_errors=True)
@@ -149,36 +169,56 @@ def main() -> None:
         # the box, not the engine.
         pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8")
         n_small, n_big = (int(x) for x in pair.split(","))
+        # cc (star-CC + LSH blocking) is the engine you'd run at 100×, so it
+        # is the default scaling evidence; add greedy_replay for the
+        # reference-exact comparison: SPARK_GRAFT_SCALE_MODES=cc,greedy_replay
+        modes = os.environ.get("SPARK_GRAFT_SCALE_MODES", "cc").split(",")
+        load0 = _loadavg()
         work_dir = tempfile.mkdtemp(prefix="bench_world_")
         try:
             t_path, kb_path, n_turns = prepare_scaling_world(work_dir)
-            walls = {}
             reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-            for cores in (n_small, n_big):
-                walls[cores] = min(
-                    run_scaling_pipeline(cores, t_path, kb_path)
-                    for _ in range(reps)
-                )  # best-of-N: minimizes shared-host noise
-            thr = {c: n_turns / w for c, w in walls.items()}
-            eff = (thr[n_big] / thr[n_small]) / (n_big / n_small)
+            per_mode = {}
+            for mode in modes:
+                walls = {}
+                for cores in (n_small, n_big):
+                    walls[cores] = min(
+                        run_scaling_pipeline(cores, t_path, kb_path, mode)
+                        for _ in range(reps)
+                    )  # best-of-N: minimizes shared-host noise
+                thr = {c: n_turns / w for c, w in walls.items()}
+                per_mode[mode] = {
+                    "efficiency": round(
+                        (thr[n_big] / thr[n_small]) / (n_big / n_small), 4
+                    ),
+                    "throughput_turns_per_sec": {
+                        str(c): round(v, 2) for c, v in thr.items()
+                    },
+                    "wall_s": {str(c): round(w, 2) for c, w in walls.items()},
+                }
+            head = per_mode[modes[0]]
             print(
                 json.dumps(
                     {
                         "metric": "kg_pipeline_scaling_efficiency",
-                        "value": round(eff, 4),
+                        "value": head["efficiency"],
                         "unit": "efficiency",
-                        "throughput_turns_per_sec": {
-                            str(c): round(v, 2) for c, v in thr.items()
-                        },
-                        "wall_s": {str(c): round(w, 2) for c, w in walls.items()},
+                        "cluster_mode": modes[0],
+                        "throughput_turns_per_sec": head[
+                            "throughput_turns_per_sec"
+                        ],
+                        "wall_s": head["wall_s"],
+                        "modes": per_mode,
                         "n_turns": n_turns,
                         "cores": [n_small, n_big],
+                        "host_load": {"start": load0, "end": _loadavg()},
                         "world": {
                             "n_convs": BENCH_CONVS,
                             "hot_turns": BENCH_HOT,
                             "n_entities": BENCH_ENTITIES,
                             "dim": BENCH_DIM,
                             "n_batches": BENCH_BATCHES,
+                            "nil_frac": BENCH_NILFRAC,
                         },
                     }
                 )
@@ -190,10 +230,14 @@ def main() -> None:
     from incremental_entity_extraction_spark.entry_queries import QUERIES
     from incremental_entity_extraction_spark.session import get_spark
 
+    load0 = _loadavg()
     wall, n_turns, n_triples = run_documents_pipeline(CPUS, SF_DIR)
+    # the scale-path engine (star-CC + LSH blocking), same input — reported
+    # alongside the reference-exact headline so both modes have evidence
+    wall_cc, _, _ = run_documents_pipeline(CPUS, SF_DIR, cluster_mode="cc")
 
     spark = get_spark(cores=CPUS, app_name="bench-queries")
-    q_times = {"kg_pipeline": round(wall, 3)}
+    q_times = {"kg_pipeline": round(wall, 3), "kg_pipeline_cc": round(wall_cc, 3)}
     for name in BENCH_QUERIES:
         t0 = time.time()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -206,11 +250,13 @@ def main() -> None:
                 "metric": "kg_pipeline_turns_per_sec",
                 "value": round(n_turns / wall, 2),
                 "unit": "turns/sec",
+                "cc_turns_per_sec": round(n_turns / wall_cc, 2),
                 "queries": q_times,
                 "sf": sf,
                 "n_turns": n_turns,
                 "n_triples": n_triples,
                 "cores": CPUS,
+                "host_load": {"start": load0, "end": _loadavg()},
             }
         )
     )

@@ -892,9 +892,13 @@ def build_kg_world(spark, sf_dir):
     from incremental_entity_extraction_spark.operators.kb import contiguous_ids
     from incremental_entity_extraction_spark.operators.mentions import detect_mentions
 
-    key = os.path.abspath(sf_dir)
+    # key includes the Spark application id: a cached (localCheckpoint'ed)
+    # DataFrame is bound to its SparkContext, and handing it to a later
+    # session dies with a null-session SparkPlan
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key in _world_cache:
         return _world_cache[key]
+    _world_cache.clear()  # worlds of dead sessions are unusable — drop them
 
     transcripts = derive_transcripts(spark, sf_dir).drop("doc_id").localCheckpoint()
     surfaces = (

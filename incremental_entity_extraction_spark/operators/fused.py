@@ -23,13 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from incremental_entity_extraction_spark.config import PipelineConfig
-from incremental_entity_extraction_spark.functions.detection import (
-    detect_mentions_in_tokens,
-)
-from incremental_entity_extraction_spark.functions.featurizer import (
-    encode_token_lists,
-    tokenize,
-    window_from_tokens,
+from incremental_entity_extraction_spark.functions.fused_kernel import (
+    fused_mentions_frame,
 )
 from incremental_entity_extraction_spark.operators.retrieval import (
     CANDIDATE_STRUCT,
@@ -83,56 +78,15 @@ def detect_encode_retrieve(
 
     def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         shard_list = bc.value
-        kw = known_words
         for pdf in batches:
-            rows = {
-                "mention_id": [], "conv_id": [], "turn_idx": [], "batch_id": [],
-                "start_tok": [], "mention": [], "context_left": [],
-                "context_right": [],
-            }
-            windows: list[list[str]] = []
-            weights: list[list[float]] = []
-            for conv_id, turn_idx, batch_id, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["batch_id"], pdf["text"]
-            ):
-                toks = tokenize(text)
-                spans = (
-                    detect_mentions_in_tokens(toks)
-                    if kw is None
-                    else detect_mentions_in_tokens(toks, kw)
-                )
-                for start, width, surface in spans:
-                    lt = toks[:start]
-                    rt = toks[start + width :]
-                    rows["mention_id"].append(f"{conv_id}:{turn_idx}:{start}")
-                    rows["conv_id"].append(conv_id)
-                    rows["turn_idx"].append(int(turn_idx))
-                    rows["batch_id"].append(int(batch_id))
-                    rows["start_tok"].append(start)
-                    rows["mention"].append(surface)
-                    rows["context_left"].append(" ".join(lt))
-                    rows["context_right"].append(" ".join(rt))
-                    # token-list window: the turn was tokenized ONCE above;
-                    # joining + retokenizing the contexts per mention was
-                    # O(turn_len) redundant regex work on the hot path
-                    w_toks, w_wts = window_from_tokens(
-                        lt, toks[start : start + width], rt, max_tok
-                    )
-                    windows.append(w_toks)
-                    weights.append(w_wts)
-            out = pd.DataFrame(rows)
-            if len(out) == 0:
+            # vectorized partition kernel (functions/fused_kernel.py) —
+            # bit-identical to the per-row detection/window/encode chain
+            out = fused_mentions_frame(
+                pdf, known_words, max_tok, dim, norm, encoder
+            )
+            if out is None:
                 continue
-            if encoder is None:
-                enc = encode_token_lists(windows, dim, norm, weights)
-            else:
-                enc = np.asarray(encoder(windows, weights), dtype=np.float32)
-                if enc.shape != (len(out), dim):
-                    raise ValueError(
-                        f"encoder returned shape {enc.shape}, expected "
-                        f"({len(out)}, {dim}) — see detect_encode_retrieve docstring"
-                    )
-            out["encoding"] = [r for r in enc]
+            enc = np.stack(out["encoding"].to_numpy())
             out["candidates"] = topk_candidates_kernel(enc, shard_list, k_cfg, norm2)
             yield out
 
@@ -153,54 +107,12 @@ def detect_encode(
     dim, norm, max_tok = cfg.dim, cfg.vector_norm, cfg.max_context_tokens
 
     def _de(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kw = known_words
         for pdf in batches:
-            rows = {
-                "mention_id": [], "conv_id": [], "turn_idx": [], "batch_id": [],
-                "start_tok": [], "mention": [], "context_left": [],
-                "context_right": [],
-            }
-            windows: list[list[str]] = []
-            weights: list[list[float]] = []
-            for conv_id, turn_idx, batch_id, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["batch_id"], pdf["text"]
-            ):
-                toks = tokenize(text)
-                spans = (
-                    detect_mentions_in_tokens(toks)
-                    if kw is None
-                    else detect_mentions_in_tokens(toks, kw)
-                )
-                for start, width, surface in spans:
-                    lt = toks[:start]
-                    rt = toks[start + width :]
-                    rows["mention_id"].append(f"{conv_id}:{turn_idx}:{start}")
-                    rows["conv_id"].append(conv_id)
-                    rows["turn_idx"].append(int(turn_idx))
-                    rows["batch_id"].append(int(batch_id))
-                    rows["start_tok"].append(start)
-                    rows["mention"].append(surface)
-                    rows["context_left"].append(" ".join(lt))
-                    rows["context_right"].append(" ".join(rt))
-                    w_toks, w_wts = window_from_tokens(
-                        lt, toks[start : start + width], rt, max_tok
-                    )
-                    windows.append(w_toks)
-                    weights.append(w_wts)
-            out = pd.DataFrame(rows)
-            if len(out) == 0:
-                continue
-            if encoder is None:
-                enc = encode_token_lists(windows, dim, norm, weights)
-            else:
-                enc = np.asarray(encoder(windows, weights), dtype=np.float32)
-                if enc.shape != (len(out), dim):
-                    raise ValueError(
-                        f"encoder returned shape {enc.shape}, expected "
-                        f"({len(out)}, {dim})"
-                    )
-            out["encoding"] = [r for r in enc]
-            yield out
+            out = fused_mentions_frame(
+                pdf, known_words, max_tok, dim, norm, encoder
+            )
+            if out is not None:
+                yield out
 
     cols = ["conv_id", "turn_idx", "batch_id", "text"]
     return transcripts.select(*cols).mapInPandas(_de, schema=ENCODED_SCHEMA)
