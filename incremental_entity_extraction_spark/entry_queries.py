@@ -1151,25 +1151,26 @@ def q37_conll_scan(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     pdf = d.orderBy("doc_id").toPandas()
+    import atexit
+
     tok_re = re.compile(r"[a-z0-9]+")
     n_files = 4  # exercise the multi-file scan path
     tmpdir = tempfile.mkdtemp(prefix="conll_q37_")
-    try:
-        handles = [
-            open(os.path.join(tmpdir, f"part{i}.conll"), "w") for i in range(n_files)
-        ]
-        for row in pdf.itertuples(index=False):
-            f = handles[int(row.doc_id) % n_files]
-            f.write(f"-DOCSTART- ({int(row.doc_id) + 1} testa)\n")
-            for t in tok_re.findall((row.text or "").lower()):
-                f.write(t + "\n")
-        for f in handles:
-            f.close()
-        # eager localCheckpoint materializes the scan NOW so the fixture dir
-        # can be removed before the (lazy) result is handed to the caller
-        spans = read_aida_yago_conll(spark, tmpdir).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmpdir, ignore_errors=True)
+    # the returned DataFrame scans these files lazily, so the fixture dir
+    # must outlive this call — clean it at interpreter exit instead of
+    # leaking it across bench/correctness runs
+    atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
+    handles = [
+        open(os.path.join(tmpdir, f"part{i}.conll"), "w") for i in range(n_files)
+    ]
+    for row in pdf.itertuples(index=False):
+        f = handles[int(row.doc_id) % n_files]
+        f.write(f"-DOCSTART- ({int(row.doc_id) + 1} testa)\n")
+        for t in tok_re.findall((row.text or "").lower()):
+            f.write(t + "\n")
+    for f in handles:
+        f.close()
+    spans = read_aida_yago_conll(spark, tmpdir)
     return (
         spans.select(F.col("doc_id").cast("long").alias("doc_id"), "end")
         .join(d.select("doc_id", "source"), "doc_id")

@@ -41,8 +41,8 @@ def make_torch_encoder(
         import torch  # noqa: F401
     except ImportError as e:
         raise ImportError(
-            "torch is not installed in this environment. Install torch (+ a "
-            "tokenizer/model library) to plug a real biencoder into "
+            "torch is not installed in this environment. Install torch + "
+            "sentence-transformers to plug a real biencoder into "
             "detect_encode_retrieve(encoder=...); until then the default "
             "deterministic hash featurizer is the drop-in stand-in with the "
             "same contract (L2 norm = cfg.vector_norm so dot thresholds "

@@ -1,0 +1,169 @@
+"""Physical-plan regression guards for the scale-critical operators.
+
+Each round's VERDICT audits `.explain("formatted")` by hand; these tests
+pin the audited properties so a scale-killer (Cartesian product, global
+single-partition exchange, unpushed filter, row-at-a-time Python UDF)
+cannot silently reappear.  String-matching physical plans is blunt but
+effective: the banned fragments are exact Spark operator names.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_entity_extraction_spark.config import DEFAULT_CONFIG as cfg
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+BANNED_EVERYWHERE = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",  # non-equi join — pair-space blowup at scale
+    "BatchEvalPython",          # row-at-a-time Python UDF
+)
+
+
+def _assert_clean(plan: str, *, allow_single_partition: bool, label: str):
+    for frag in BANNED_EVERYWHERE:
+        assert frag not in plan, f"{label}: {frag} in physical plan"
+    if not allow_single_partition:
+        assert "Exchange SinglePartition" not in plan, (
+            f"{label}: global single-partition exchange — serializes the "
+            "table through one task"
+        )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": [f"zorvex marnel doc {i} the a of" for i in range(200)],
+            "source": ["web" if i % 2 else "chat" for i in range(200)],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "emb_id": range(300),
+            "embedding": [
+                [float(x) for x in rng.normal(size=16)] for _ in range(300)
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_fused_stage_is_narrow(spark, spark_world):
+    """detect→encode→retrieve adds NO exchange: one Arrow pass over the
+    scan, scoring against the broadcast — the whole point of the topology."""
+    from incremental_entity_extraction_spark.operators.fused import (
+        detect_encode_retrieve,
+    )
+    from incremental_entity_extraction_spark.operators.retrieval import (
+        build_kb_shards,
+    )
+
+    shards = build_kb_shards(spark_world["entities_kb"], 1)
+    df = detect_encode_retrieve(spark_world["transcripts"], cfg, shards)
+    plan = plan_of(df)
+    _assert_clean(plan, allow_single_partition=False, label="fused")
+    assert "Exchange" not in plan, "fused stage must not shuffle"
+    assert "MapInPandas" in plan
+
+
+def test_topk_per_key_uses_window_group_limit(spark, spark_world):
+    """Per-key top-k must push the limit below the shuffle (WindowGroupLimit)
+    and never collapse to one partition."""
+    from incremental_entity_extraction_spark.operators.fused import (
+        detect_encode_retrieve,
+    )
+    from incremental_entity_extraction_spark.operators.retrieval import (
+        build_kb_shards,
+    )
+    from pyspark.sql import Window
+
+    shards = build_kb_shards(spark_world["entities_kb"], 1)
+    m = detect_encode_retrieve(spark_world["transcripts"], cfg, shards)
+    c = m.select("mention_id", F.explode("candidates").alias("c"))
+    w = Window.partitionBy("mention_id").orderBy(F.desc("c.score"))
+    top = c.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 3)
+    plan = plan_of(top)
+    _assert_clean(plan, allow_single_partition=False, label="topk_per_key")
+    assert "WindowGroupLimit" in plan
+
+
+def test_ngram_jaccard_no_cartesian(spark, docs):
+    from incremental_entity_extraction_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text", n=3,
+                                threshold=0.5)
+    plan = plan_of(pairs)
+    _assert_clean(plan, allow_single_partition=False, label="ngram_jaccard")
+    # the inverted-index self-join must be an EQUI-join (hash or sort-merge —
+    # Catalyst may broadcast the small side at test scale; both are fine)
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_exact_dedup_single_shuffle(spark, docs):
+    from incremental_entity_extraction_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    groups = exact_duplicates(docs, id_col="doc_id", text_col="text")
+    plan = plan_of(groups)
+    _assert_clean(plan, allow_single_partition=False, label="dedup_exact")
+    # one hash exchange on the content hash, nothing else
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ivf_topk_is_cogrouped(spark, embs):
+    from incremental_entity_extraction_spark.operators.similarity_search import (
+        ivf_topk,
+    )
+
+    q = embs.withColumnRenamed("emb_id", "vec_id").limit(20)
+    c = embs.withColumnRenamed("emb_id", "vec_id")
+    nn = ivf_topk(q, c, k=5, n_centroids=8, n_probe=2)
+    plan = plan_of(nn)
+    _assert_clean(plan, allow_single_partition=False, label="ivf_topk")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "WindowGroupLimit" in plan  # global top-k bounded below the window
+
+
+def test_contiguous_ids_no_global_window(spark, docs):
+    from incremental_entity_extraction_spark.operators.kb import contiguous_ids
+
+    out = contiguous_ids(docs.select("text"), ["text"], id_col="id")
+    plan = plan_of(out)
+    _assert_clean(plan, allow_single_partition=False, label="contiguous_ids")
+
+
+def test_parquet_filter_pushdown(spark, tmp_path):
+    """Filters and projections must reach the parquet scan."""
+    import pandas as pd
+
+    p = str(tmp_path / "t.parquet")
+    pd.DataFrame(
+        {"a": range(100), "b": range(100), "c": [str(i) for i in range(100)]}
+    ).to_parquet(p)
+    df = spark.read.parquet(p).filter(F.col("a") > 50).select("a", "c")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(a), GreaterThan(a,50)]" in plan
+    assert "ReadSchema" in plan and "b:" not in plan.split("ReadSchema")[1].split("\n")[0]
