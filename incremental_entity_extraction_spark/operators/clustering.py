@@ -179,6 +179,7 @@ def cluster_cc(
     cfg: PipelineConfig,
     lsh_threshold: int = 200_000,
     cc_backend: str = "star",
+    small_graph_edges: int = 100_000,
 ) -> DataFrame:
     """CC engine: (mention_id, cluster_label) for all NIL mentions.
 
@@ -194,8 +195,12 @@ def cluster_cc(
         edges = nil_edges_lsh(nil_df, cfg)
     else:
         edges = nil_edges(nil_df, cfg)
-    cc = connected_components_star if cc_backend == "star" else connected_components
-    return cc(nil_df.select("mention_id"), edges)
+    if cc_backend == "star":
+        return connected_components_star(
+            nil_df.select("mention_id"), edges,
+            small_graph_edges=small_graph_edges,
+        )
+    return connected_components(nil_df.select("mention_id"), edges)
 
 
 # --------------------------------------------------------------------------
@@ -507,8 +512,57 @@ def _star_pass(e: DataFrame, large: bool) -> DataFrame:
     )
 
 
+def _components_union_find(edges: DataFrame) -> DataFrame:
+    """(src, dst) edge list -> (mention_id, cluster_label) for CONNECTED
+    nodes only, via union-find in a single executor task — ONE Spark job
+    instead of O(log n) star rounds.  Only correct/safe when the edge list
+    fits one task; ``connected_components_star`` gates on edge count before
+    calling this.  Labels = min component member (string order), identical
+    to the star path."""
+    schema = T.StructType(
+        [
+            T.StructField("mention_id", T.StringType(), False),
+            T.StructField("cluster_label", T.StringType(), False),
+        ]
+    )
+
+    def _uf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict = {}
+        seen: set = set()
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in it:
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                seen.add(a)
+                seen.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by label order keeps the min id at the root
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        yield pd.DataFrame(
+            {
+                "mention_id": list(seen),
+                "cluster_label": [find(n) for n in seen],
+            }
+        )
+
+    return edges.select("src", "dst").repartition(1).mapInPandas(_uf, schema=schema)
+
+
 def connected_components_star(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+    small_graph_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star passes
     (semantics of Kiveris et al., "Connected Components in MapReduce and
@@ -516,6 +570,13 @@ def connected_components_star(
     diameter — the right choice for chain-shaped near-dup graphs, whereas
     min-label propagation (``connected_components``) needs O(diameter)
     rounds.  String vertex ids compare lexicographically.
+
+    Size-adaptive: when the symmetrized edge list has at most
+    ``small_graph_edges`` rows it is handed to a single-task union-find
+    (ONE job; the star loop costs ~6-10 driver-synchronized jobs, which
+    dominates wall clock for the tiny per-batch NIL graphs the pipeline
+    usually sees).  Above the threshold the distributed star rounds run —
+    the path that survives 100×.  Both paths emit identical labels.
 
     Returns (mention_id, cluster_label), label = min component member.
     """
@@ -526,6 +587,16 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    if e.count() <= small_graph_edges:
+        labels = _components_union_find(e)
+        return (
+            vertices.select("mention_id")
+            .join(labels, "mention_id", "left")
+            .select(
+                "mention_id",
+                F.coalesce("cluster_label", "mention_id").alias("cluster_label"),
+            )
+        )
     prev_sig = None
     for _ in range(max_iter):
         e = _star_pass(e, large=True).localCheckpoint()

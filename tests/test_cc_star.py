@@ -71,3 +71,45 @@ def test_propagation_raises_on_deep_chain_star_converges(spark):
     out = connected_components_star(vertices, edges, max_iter=10).toPandas()
     assert (out["cluster_label"] == "v000").all()
     assert len(out) == n
+
+
+def test_small_graph_union_find_matches_star(spark):
+    """The size-adaptive single-task union-find path must emit labels
+    identical to the distributed star rounds on the same graph."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from incremental_entity_extraction_spark.operators.clustering import (
+        connected_components_star,
+    )
+
+    rng = random.Random(17)
+    nodes = [f"m{i:04d}" for i in range(400)]
+    # chains + cliques + singletons
+    edges = [(nodes[i], nodes[i + 1]) for i in range(0, 120, 1)]
+    edges += [(nodes[200 + i], nodes[200 + j]) for i in range(8) for j in range(i)]
+    edges += [(rng.choice(nodes[:300]), rng.choice(nodes[:300])) for _ in range(50)]
+    v = spark.createDataFrame([(n,) for n in nodes], "mention_id string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+
+    small = connected_components_star(v, e)  # default: union-find path
+    star = connected_components_star(v, e, small_graph_edges=0)  # force star
+    a = {r["mention_id"]: r["cluster_label"] for r in small.collect()}
+    b = {r["mention_id"]: r["cluster_label"] for r in star.collect()}
+    assert a == b
+    # label = min member, singletons label themselves
+    assert a["m0399"] == "m0399"
+    assert a["m0000"] == "m0000" and a["m0120"] == "m0000"
+
+
+def test_union_find_empty_edges(spark):
+    from incremental_entity_extraction_spark.operators.clustering import (
+        connected_components_star,
+    )
+
+    v = spark.createDataFrame([("a",), ("b",)], "mention_id string")
+    e = spark.createDataFrame([], "src string, dst string")
+    got = {r["mention_id"]: r["cluster_label"]
+           for r in connected_components_star(v, e).collect()}
+    assert got == {"a": "a", "b": "b"}
