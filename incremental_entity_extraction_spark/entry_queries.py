@@ -1546,6 +1546,78 @@ def q45_sql():
     """
 
 
+def q46_jsonl_scan(spark, sf_dir):
+    """S-scan JSONL variant, ORACLE-CHECKED: the documents table is
+    serialized as JSONL transcript turns (3 plain files + 1 gzip, with torn
+    lines injected into two of them), read back with the explicit-schema
+    PERMISSIVE scan (operators/jsonl_source.py — no inference pass, corrupt
+    lines quarantined), and the per-role aggregate over the CLEAN rows must
+    equal DuckDB recomputing the derivation relationally from documents."""
+    import atexit
+    import gzip
+    import json as _json
+    import os
+
+    from incremental_entity_extraction_spark.operators.jsonl_source import (
+        read_transcripts_jsonl,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = d.orderBy("doc_id").toPandas()
+    tmpdir = tempfile.mkdtemp(prefix="jsonl_q46_")
+    atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
+    roles = ["user", "assistant", "tool"]
+    handles = [
+        open(os.path.join(tmpdir, f"part{i}.jsonl"), "wt") for i in range(3)
+    ] + [gzip.open(os.path.join(tmpdir, "part3.jsonl.gz"), "wt")]
+    for row in pdf.itertuples(index=False):
+        i = int(row.doc_id)
+        handles[i % 4].write(
+            _json.dumps(
+                {
+                    "conv_id": f"conv_{i % 37:03d}",
+                    "turn_idx": i,
+                    "role": roles[i % 3],
+                    "text": row.text,
+                }
+            )
+            + "\n"
+        )
+    # torn lines (one plain, one inside the gzip member) must be quarantined,
+    # not parsed as nulls and not fail the scan
+    handles[0].write('{"conv_id": "torn", "turn_idx": \n')
+    handles[3].write("not json at all\n")
+    for f in handles:
+        f.close()
+    clean, _corrupt = read_transcripts_jsonl(spark, tmpdir)
+    return clean.groupBy("role").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.max("turn_idx").cast("long").alias("max_turn"),
+    )
+
+
+def q46_sql():
+    return """
+        WITH t AS (
+          SELECT 'conv_' || lpad((doc_id % 37)::VARCHAR, 3, '0') AS conv_id,
+                 doc_id AS turn_idx,
+                 CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                      ELSE 'tool' END AS role,
+                 text
+          FROM documents
+        )
+        SELECT role,
+               count(*)::BIGINT AS n_turns,
+               count(DISTINCT conv_id)::BIGINT AS n_convs,
+               sum(length(text))::BIGINT AS sum_chars,
+               max(turn_idx)::BIGINT AS max_turn
+        FROM t
+        GROUP BY role
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1595,6 +1667,7 @@ QUERIES = {
     "q43_emb_lsh_oracle": q43_emb_lsh_oracle,
     "q44_simhash_oracle": q44_simhash_oracle,
     "q45_ngram_jaccard_capped": q45_ngram_jaccard_capped,
+    "q46_jsonl_scan": q46_jsonl_scan,
 }
 
 ORACLE_SQL = {
@@ -1633,4 +1706,5 @@ ORACLE_SQL = {
     "q43_emb_lsh_oracle": q43_sql(),
     "q44_simhash_oracle": q44_sql(),
     "q45_ngram_jaccard_capped": q45_sql(),
+    "q46_jsonl_scan": q46_sql(),
 }
