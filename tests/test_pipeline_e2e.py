@@ -56,13 +56,14 @@ def test_per_turn_text_invariant(spark, spark_world, world, cfg, tmp_lake):
     assert list(after["text"]) == list(src["text"])
 
 
-def test_determinism_two_runs_identical(spark, spark_world, cfg, tmp_path):
+@pytest.mark.parametrize("mode", ["greedy_replay", "cc"])
+def test_determinism_two_runs_identical(spark, spark_world, cfg, tmp_path, mode):
     from incremental_entity_extraction_spark.pipeline import Lake
 
-    lakes = [Lake(str(tmp_path / f"lake{i}")) for i in range(2)]
+    lakes = [Lake(str(tmp_path / f"lake_{mode}_{i}")) for i in range(2)]
     outs = []
     for lk in lakes:
-        _run(spark, spark_world, lk, cfg, "greedy_replay")
+        _run(spark, spark_world, lk, cfg, mode)
         outs.append(_triple_set(spark.read.parquet(lk.path("triples")).toPandas()))
     assert outs[0] == outs[1]
 
