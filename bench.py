@@ -172,7 +172,11 @@ def main() -> None:
         # cc (star-CC + LSH blocking) is the engine you'd run at 100×, so it
         # is the default scaling evidence; add greedy_replay for the
         # reference-exact comparison: SPARK_GRAFT_SCALE_MODES=cc,greedy_replay
-        modes = os.environ.get("SPARK_GRAFT_SCALE_MODES", "cc").split(",")
+        modes = [
+            m.strip()
+            for m in os.environ.get("SPARK_GRAFT_SCALE_MODES", "cc").split(",")
+            if m.strip()
+        ]
         load0 = _loadavg()
         work_dir = tempfile.mkdtemp(prefix="bench_world_")
         try:

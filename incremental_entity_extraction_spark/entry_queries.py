@@ -895,10 +895,14 @@ def build_kg_world(spark, sf_dir):
     # key includes the Spark application id: a cached (localCheckpoint'ed)
     # DataFrame is bound to its SparkContext, and handing it to a later
     # session dies with a null-session SparkPlan
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.abspath(sf_dir))
     if key in _world_cache:
         return _world_cache[key]
-    _world_cache.clear()  # worlds of dead sessions are unusable — drop them
+    # evict only dead-session worlds (their DataFrames are unusable); live
+    # same-session worlds for other sf_dirs stay cached
+    for k in [k for k in _world_cache if k[0] != app_id]:
+        del _world_cache[k]
 
     transcripts = derive_transcripts(spark, sf_dir).drop("doc_id").localCheckpoint()
     surfaces = (

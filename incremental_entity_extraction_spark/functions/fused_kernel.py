@@ -177,9 +177,11 @@ def fused_mentions_frame(
     dim: int,
     norm: float,
     encoder=None,
-) -> pd.DataFrame | None:
-    """One Arrow batch of transcripts -> the enriched mention frame
-    (ENCODED_SCHEMA columns, minus candidates).  None when no mentions."""
+) -> tuple[pd.DataFrame, np.ndarray] | None:
+    """One Arrow batch of transcripts -> (enriched mention frame, encoding
+    matrix).  The (n, dim) float32 matrix is returned alongside the frame
+    so the retrieval kernel can consume it directly instead of re-stacking
+    the per-row column.  None when no mentions."""
     det = detect_partition(pdf["text"].to_numpy(), known, max_tokens)
     if det is None:
         return None
@@ -219,4 +221,4 @@ def fused_mentions_frame(
                 f"({len(out)}, {dim}) — see detect_encode_retrieve docstring"
             )
     out["encoding"] = list(enc)
-    return out
+    return out, enc

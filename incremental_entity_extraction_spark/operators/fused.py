@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -81,12 +80,12 @@ def detect_encode_retrieve(
         for pdf in batches:
             # vectorized partition kernel (functions/fused_kernel.py) —
             # bit-identical to the per-row detection/window/encode chain
-            out = fused_mentions_frame(
+            res = fused_mentions_frame(
                 pdf, known_words, max_tok, dim, norm, encoder
             )
-            if out is None:
+            if res is None:
                 continue
-            enc = np.stack(out["encoding"].to_numpy())
+            out, enc = res
             out["candidates"] = topk_candidates_kernel(enc, shard_list, k_cfg, norm2)
             yield out
 
@@ -108,11 +107,11 @@ def detect_encode(
 
     def _de(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = fused_mentions_frame(
+            res = fused_mentions_frame(
                 pdf, known_words, max_tok, dim, norm, encoder
             )
-            if out is not None:
-                yield out
+            if res is not None:
+                yield res[0]
 
     cols = ["conv_id", "turn_idx", "batch_id", "text"]
     return transcripts.select(*cols).mapInPandas(_de, schema=ENCODED_SCHEMA)

@@ -30,8 +30,10 @@ from incremental_entity_extraction_spark.operators.retrieval import CANDIDATE_ST
 from incremental_entity_extraction_spark.operators.similarity_search import ivf_topk
 
 # composite (indexer, id) -> one long key; id must stay below 2^40 (~1.1e12,
-# far above any KB/RW id — RW ids count discovered clusters, not turns)
+# far above any KB/RW id — RW ids count discovered clusters, not turns) and
+# indexer below 2^23 so the product cannot overflow a signed 64-bit long
 _IDX_SHIFT = 1 << 40
+_MAX_INDEXER = 1 << 23
 
 
 def retrieve_topk_ann(
@@ -39,7 +41,7 @@ def retrieve_topk_ann(
     kb_df: DataFrame,
     cfg: PipelineConfig,
     n_centroids: int | None = None,  # None → ivf_topk derives ≈ sqrt(|KB|)
-    n_probe: int = 8,
+    n_probe: int | None = None,      # None → ivf_topk keeps the 25% ratio
     seed: int = 11,
 ) -> DataFrame:
     """mentions(+encoding) × kb DataFrame -> mentions + candidates array.
@@ -54,24 +56,28 @@ def retrieve_topk_ann(
     # Guard the composite-key assumption at runtime: a row violating it would
     # silently decode to the wrong entity.  raise_error is evaluated JVM-side
     # per row — no extra action, negligible cost next to the dot products.
-    checked_id = F.when(
-        (F.col("id") < 0) | (F.col("id") >= F.lit(_IDX_SHIFT)) | (F.col("indexer") < 0),
+    # the whole key construction lives inside the guarded branch: for legal
+    # values the key maxes out at exactly 2^63-1 (no overflow), and illegal
+    # ones raise BEFORE any arithmetic can ANSI-overflow with a less useful
+    # message
+    checked_key = F.when(
+        (F.col("id") < 0)
+        | (F.col("id") >= F.lit(_IDX_SHIFT))
+        | (F.col("indexer") < 0)
+        | (F.col("indexer") >= F.lit(_MAX_INDEXER)),
         F.raise_error(
             F.concat(
                 F.lit("retrieve_topk_ann: kb id/indexer outside composite-key "
-                      "range [0, 2^40): id="),
+                      "range (id in [0, 2^40), indexer in [0, 2^23)): id="),
                 F.col("id").cast("string"),
                 F.lit(" indexer="),
                 F.col("indexer").cast("string"),
             )
         ).cast("long"),
-    ).otherwise(F.col("id").cast("long"))
-    corpus = kb_df.select(
-        (F.col("indexer").cast("long") * F.lit(_IDX_SHIFT) + checked_id).alias(
-            "vec_id"
-        ),
-        F.col("embedding"),
+    ).otherwise(
+        F.col("indexer").cast("long") * F.lit(_IDX_SHIFT) + F.col("id").cast("long")
     )
+    corpus = kb_df.select(checked_key.alias("vec_id"), F.col("embedding"))
     nn = ivf_topk(
         queries, corpus, k=cfg.top_k, n_centroids=n_centroids, n_probe=n_probe,
         seed=seed, exclude_self=False,
@@ -79,7 +85,9 @@ def retrieve_topk_ann(
     decoded = nn.select(
         F.col("query_id").alias("qid"),
         (F.col("neighbor_id") % F.lit(_IDX_SHIFT)).alias("id"),
-        (F.col("neighbor_id") / F.lit(_IDX_SHIFT)).cast("int").alias("indexer"),
+        # integer DIV, not `/`: true division goes through double and loses
+        # precision for keys beyond 2^53 (indexer >= 2^13)
+        F.expr(f"CAST(neighbor_id DIV {_IDX_SHIFT}L AS INT)").alias("indexer"),
         (F.col("cosine") * F.lit(norm2)).cast("float").alias("score"),
         F.col("cosine").cast("float").alias("norm_score"),
     )

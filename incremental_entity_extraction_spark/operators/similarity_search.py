@@ -259,7 +259,7 @@ def ivf_topk(
     corpus: DataFrame,
     k: int = 10,
     n_centroids: int | None = None,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
@@ -300,6 +300,13 @@ def ivf_topk(
         return spark.createDataFrame([], _TOPK_SCHEMA)
     if n_centroids is None:
         n_centroids = max(4, min(math.isqrt(n), 4096))
+    if n_probe is None:
+        # keep the probed-bucket RATIO constant (25%, the ratio the ≥0.9
+        # recall tests were measured at) as n_centroids grows with sqrt(n) —
+        # a fixed n_probe would silently collapse recall at scale.  Scan
+        # cost stays n_probe/n_centroids = 1/4 of the corpus; production
+        # deployments tune this down per-dataset against the recall tests.
+        n_probe = max(4, -(-n_centroids // 4))
     frac = min(1.0, train_size / n)
     sample = cvec.sample(False, frac, seed).select("vec") if frac < 1.0 else cvec.select("vec")
     X = np.stack(

@@ -39,6 +39,10 @@ def make_torch_encoder(
     model.  Raises ImportError where torch is absent (this sandbox)."""
     try:
         import torch  # noqa: F401
+
+        # fail at CONSTRUCTION, on the driver — _encode needs this on every
+        # executor, and a deferred ImportError there costs a launched job
+        import sentence_transformers  # noqa: F401
     except ImportError as e:
         raise ImportError(
             "torch is not installed in this environment. Install torch + "

@@ -19,10 +19,14 @@ sys.path.insert(0, _ROOT)
 
 
 def main() -> None:
-    # refuse to run against a stale --py-files artifact
-    from tools.make_pyfiles_zip import require_fresh_zip
-
-    require_fresh_zip()
+    # refuse to run against a stale --py-files artifact (skip when staged
+    # without a source checkout — nothing to audit there)
+    try:
+        from tools.make_pyfiles_zip import require_fresh_zip
+    except ImportError:
+        pass
+    else:
+        require_fresh_zip()
     p = argparse.ArgumentParser()
     p.add_argument("--kb", help="entities parquet (default: built-in fixture KB)")
     p.add_argument("--top-k", type=int, default=3)

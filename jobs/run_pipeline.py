@@ -30,9 +30,13 @@ sys.path.insert(0, _ROOT)
 
 def _refuse_stale_zip() -> None:
     """Hard-error if dist/iees.zip exists but differs from the source tree —
-    a spark-submit --py-files run would otherwise silently execute old code."""
-    from tools.make_pyfiles_zip import require_fresh_zip
-
+    a spark-submit --py-files run would otherwise silently execute old code.
+    When the job is staged WITHOUT a source checkout next to it (cluster
+    deploy mode), there is nothing to audit and the guard stands down."""
+    try:
+        from tools.make_pyfiles_zip import require_fresh_zip
+    except ImportError:
+        return
     require_fresh_zip()
 
 

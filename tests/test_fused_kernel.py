@@ -85,16 +85,17 @@ def test_bit_identity_vs_per_row_kernels(known):
     ref, windows, weights = _reference_frame(
         pdf, known, cfg.max_context_tokens, cfg.dim, cfg.vector_norm
     )
-    got = fused_mentions_frame(
+    got, E_got = fused_mentions_frame(
         pdf, known, cfg.max_context_tokens, cfg.dim, cfg.vector_norm
     )
     assert len(got) == len(ref)
     for c in ref.columns:
         assert list(got[c]) == list(ref[c]), c
     E_ref = encode_token_lists(windows, cfg.dim, cfg.vector_norm, weights)
-    E_got = np.stack(got["encoding"].to_numpy())
     assert E_got.dtype == np.float32
     assert np.array_equal(E_ref, E_got)  # bit-exact, not allclose
+    # the returned matrix is the same data as the per-row column
+    assert np.array_equal(np.stack(got["encoding"].to_numpy()), E_got)
 
 
 def test_no_mentions_returns_none():

@@ -72,3 +72,32 @@ def test_kmeans_caps_centroids_to_sample(spark):
     X = np.random.default_rng(1).normal(size=(6, 4)).astype(np.float32)
     C = kmeans_centroids(X, 16, seed=1)
     assert C.shape[0] <= 6
+
+
+def test_auto_probe_finds_twin_duplicates(spark):
+    """Auto-derived n_probe (25% of the sqrt(n) buckets) must keep obvious
+    structure findable: every vector's exact duplicate shares its bucket."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(300, 8)).astype(np.float32)
+    X = np.vstack([base, base])  # ids 0..299 and twins 300..599
+    corpus = _df(spark, X)
+    q = _df(spark, X[:10], ids=range(10))
+    out = ivf_topk(q, corpus, k=1, exclude_self=True).toPandas()
+    top = out[out["rank"] == 1].set_index("query_id")["neighbor_id"]
+    assert all(top[i] == i + 300 for i in range(10))
+
+
+def test_zip_check_stands_down_without_source_tree(tmp_path):
+    """A bare deploy dir (zip + jobs, no package source) must not be
+    refused — there is nothing to audit."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.make_pyfiles_zip import build, check_zip
+
+    zp = str(tmp_path / "iees.zip")
+    build(zip_path=zp)  # built from the real tree
+    bare = tmp_path / "deploy"
+    bare.mkdir()
+    assert check_zip(zip_path=zp, root=str(bare)) == []

@@ -82,3 +82,62 @@ def test_pipeline_e2e_with_ivf_retrieval(spark, spark_world, world, cfg, tmp_pat
     p = len(sset & oset) / len(sset)
     r = len(sset & oset) / len(oset)
     assert p >= 0.95 and r >= 0.95, f"ivf-mode triples P={p:.3f} R={r:.3f}"
+
+
+def test_composite_key_guard_rejects_out_of_range(spark, cfg):
+    """id >= 2^40 or indexer >= 2^23 must raise, not decode a wrong entity."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from incremental_entity_extraction_spark.operators.retrieval_ann import (
+        retrieve_topk_ann,
+    )
+
+    rng = np.random.default_rng(2)
+    vec = [float(x) for x in rng.normal(size=cfg.dim)]
+    mentions = spark.createDataFrame(
+        [("m1", vec)], "mention_id string, encoding array<float>"
+    )
+    for bad_id, bad_indexer in [(1 << 40, 0), (5, 1 << 23), (-1, 0)]:
+        kb = spark.createDataFrame(
+            [(bad_id, bad_indexer, 100, "t", vec)],
+            "id long, indexer int, wikipedia_id long, title string, "
+            "embedding array<float>",
+        )
+        with pytest.raises(Exception) as ei:
+            retrieve_topk_ann(mentions, kb, cfg, n_centroids=2, n_probe=2).collect()
+        assert "composite-key" in str(ei.value)
+
+
+def test_large_indexer_decodes_exactly(spark, cfg):
+    """indexer beyond 2^13 pushes the composite key past 2^53 — the decode
+    must use integer DIV (float division would hydrate the wrong entity)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from incremental_entity_extraction_spark.operators.retrieval_ann import (
+        retrieve_topk_ann,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(6, cfg.dim)).astype(np.float32)
+    big_indexer = (1 << 23) - 1  # max legal; key ≈ 2^63 - ε
+    kb = spark.createDataFrame(
+        [
+            (int(i), big_indexer, 100 + i, f"t{i}", [float(x) for x in vecs[i]])
+            for i in range(6)
+        ],
+        "id long, indexer int, wikipedia_id long, title string, "
+        "embedding array<float>",
+    )
+    mentions = spark.createDataFrame(
+        [("m0", [float(x) for x in vecs[0]])],
+        "mention_id string, encoding array<float>",
+    )
+    out = retrieve_topk_ann(mentions, kb, cfg, n_centroids=2, n_probe=2).collect()
+    cands = out[0]["candidates"]
+    assert len(cands) > 0
+    assert all(c["indexer"] == big_indexer for c in cands)
+    assert cands[0]["id"] == 0  # self-similar vector decodes to the right id

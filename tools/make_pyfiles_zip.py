@@ -39,6 +39,11 @@ def check_zip(zip_path: str = ZIP_PATH, root: str = ROOT) -> list[str]:
     an existing-but-stale artifact can silently ship old code."""
     if not os.path.exists(zip_path):
         return []
+    if not os.path.isdir(os.path.join(root, PKG)):
+        # no source tree next to the job (cluster-mode staging dir, bare
+        # deploy of zip+jobs): there is nothing to compare against — the
+        # guard must not refuse a deploy it cannot audit
+        return []
     expected = source_entries(root)
     problems: list[str] = []
     with zipfile.ZipFile(zip_path) as z:
