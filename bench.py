@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "q35_sessionize_events",
     "q37_conll_scan",
     "q38_ivf_recall",
+    "q46_jsonl_scan",
 ]
 
 
