@@ -1622,6 +1622,78 @@ def q46_sql():
     """
 
 
+def q47_dedup_groups_cc(spark, sf_dir):
+    """Connected-components dedup groups, ORACLE-CHECKED: the q19 near-dup
+    pair graph collapsed into canonical groups by the CC engine
+    (dedup_connected_groups → connected_components_star, union-find fast
+    path / star rounds), vs DuckDB computing components with a RECURSIVE
+    transitive-closure CTE.  This oracle-checks the CC family's SEMANTICS
+    relationally — previously pytest-only.  Labels are the LEXICOGRAPHIC
+    min member (ids compared as strings — the operator's documented
+    contract), mirrored in SQL via min over VARCHAR casts."""
+    from incremental_entity_extraction_spark.operators.dedup import (
+        dedup_connected_groups,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.2)
+    groups = dedup_connected_groups(pairs)
+    return groups.groupBy("canonical_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("id").cast("long").alias("sum_ids"),
+        F.max("id").cast("long").alias("max_id"),
+    )
+
+
+def q47_sql():
+    return """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> length(x) > 0) AS ts
+          FROM documents WHERE doc_id < 300
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(ts[i:i+1], ' ') AS shingle
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ts) - 1, 1))) AS i) g
+          WHERE len(ts) > 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        ), sym AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ), members AS (
+          SELECT src AS id, dst AS member FROM reach
+          UNION SELECT src, src FROM sym
+        ), labels AS (
+          -- lexicographic min member, matching the operator's string-label
+          -- contract
+          SELECT id, CAST(min(CAST(member AS VARCHAR)) AS BIGINT) AS canonical_id
+          FROM members GROUP BY id
+        )
+        SELECT canonical_id,
+               count(*)::BIGINT AS n_members,
+               sum(id)::BIGINT AS sum_ids,
+               max(id)::BIGINT AS max_id
+        FROM labels
+        GROUP BY canonical_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1672,6 +1744,7 @@ QUERIES = {
     "q44_simhash_oracle": q44_simhash_oracle,
     "q45_ngram_jaccard_capped": q45_ngram_jaccard_capped,
     "q46_jsonl_scan": q46_jsonl_scan,
+    "q47_dedup_groups_cc": q47_dedup_groups_cc,
 }
 
 ORACLE_SQL = {
@@ -1711,4 +1784,5 @@ ORACLE_SQL = {
     "q44_simhash_oracle": q44_sql(),
     "q45_ngram_jaccard_capped": q45_sql(),
     "q46_jsonl_scan": q46_sql(),
+    "q47_dedup_groups_cc": q47_sql(),
 }
