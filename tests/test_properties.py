@@ -101,3 +101,67 @@ def test_single_link_row_order_invariant(n, seed):
     orig = partition(labels)
     inv = [frozenset(int(perm[i]) for i in g) for g in partition(labels_p)]
     assert sorted(map(sorted, orig)) == sorted(map(sorted, inv))
+
+
+# --- vectorized fused kernel vs per-row reference kernels (fuzz) ----------
+
+_turn_text = st.one_of(
+    st.none(),
+    st.text(alphabet="abz019 .,!\t", max_size=60),
+    st.text(max_size=40),  # arbitrary unicode
+)
+
+
+@given(st.lists(_turn_text, min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=24))
+@settings(max_examples=60, deadline=None)
+def test_fused_kernel_bit_identical_fuzz(texts, max_tok):
+    """fused_mentions_frame must equal the per-row kernel chain on ARBITRARY
+    turn text (unicode, nulls, punctuation-only) and any window budget —
+    same mentions, contexts, and float32 encoding bits."""
+    import numpy as np
+    import pandas as pd
+
+    from incremental_entity_extraction_spark.config import DEFAULT_CONFIG as cfg
+    from incremental_entity_extraction_spark.functions.detection import (
+        detect_mentions_in_tokens,
+    )
+    from incremental_entity_extraction_spark.functions.featurizer import (
+        encode_token_lists,
+        tokenize,
+        window_from_tokens,
+    )
+    from incremental_entity_extraction_spark.functions.fused_kernel import (
+        fused_mentions_frame,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(len(texts))],
+            "turn_idx": list(range(len(texts))),
+            "batch_id": [0] * len(texts),
+            "text": texts,
+        }
+    )
+    rows, windows, weights = [], [], []
+    for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+        toks = tokenize(text)
+        for start, width, surface in detect_mentions_in_tokens(toks):
+            lt, rt = toks[:start], toks[start + width:]
+            wt, ww = window_from_tokens(lt, toks[start:start + width], rt, max_tok)
+            rows.append((f"{conv_id}:{turn_idx}:{start}", surface,
+                         " ".join(lt), " ".join(rt)))
+            windows.append(wt)
+            weights.append(ww)
+    res = fused_mentions_frame(pdf, None, max_tok, cfg.dim, cfg.vector_norm)
+    if not rows:
+        assert res is None
+        return
+    got, E_got = res
+    assert [
+        (m, s, l, r)
+        for m, s, l, r in zip(got["mention_id"], got["mention"],
+                              got["context_left"], got["context_right"])
+    ] == rows
+    E_ref = encode_token_lists(windows, cfg.dim, cfg.vector_norm, weights)
+    assert np.array_equal(E_ref, E_got)
