@@ -277,6 +277,87 @@ def cluster_summarize_greedy(nil_df: DataFrame, cfg: PipelineConfig) -> DataFram
     ).groupBy("batch_id").applyInPandas(_replay_summarize, schema=CLUSTER_SCHEMA)
 
 
+def cluster_summarize_cc(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """CC edges + components + summarization fused into ONE
+    ``groupBy(batch_id)`` pass — the small-batch fast path for
+    ``cluster_mode='cc'`` (pipeline.run_batch gates on NIL count,
+    ``pipeline.CC_FUSED_MAX``); the composed distributed chain
+    (``cluster_cc`` → ``summarize_clusters_df``) remains the path above the
+    gate and its output is identical (tested row-for-row).
+
+    Inside the task: threshold the dot-product graph (chunked matmul, same
+    f32 kernel as ``nil_edges``), find components by vectorized min-RANK
+    propagation over the boolean adjacency (rank = lexicographic order of
+    mention_id — the CC engines' string-min label contract), then emit the
+    same summary rows as ``summarize_clusters_df`` (members in canonical
+    (conv_id, turn_idx, start_tok) order, modal title, medoid center).
+    """
+    th = float(cfg.greedy_threshold)
+
+    def _cc_summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "turn_idx", "start_tok"]).reset_index(
+            drop=True
+        )
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(columns=[f.name for f in CLUSTER_SCHEMA.fields])
+        enc = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["encoding"]])
+        ids = pdf["mention_id"].to_numpy()
+        # lexicographic rank of each mention_id (string order == the label
+        # contract of connected_components_star / _components_union_find)
+        order = np.argsort(ids.astype(object), kind="stable")
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        # boolean adjacency, chunked to keep each score tile ≈ 8 MB
+        chunk = max(1, min(4096, (1 << 21) // max(n, 1)))
+        adj_chunks: list[np.ndarray] = []
+        for i0 in range(0, n, chunk):
+            S = enc[i0 : i0 + chunk] @ enc.T
+            A = S > th
+            np.fill_diagonal(A[:, i0 : i0 + chunk], False)
+            adj_chunks.append(A)
+        # min-rank propagation to fixpoint (O(diameter) sweeps, all numpy)
+        label = rank.copy()
+        for _ in range(n + 1):
+            changed = False
+            pos = 0
+            for A in adj_chunks:
+                m = A.shape[0]
+                cand = np.where(A, label[None, :], n).min(axis=1)
+                new = np.minimum(label[pos : pos + m], cand)
+                if not np.array_equal(new, label[pos : pos + m]):
+                    label[pos : pos + m] = new
+                    changed = True
+                pos += m
+            if not changed:
+                break
+        inv = np.empty(n, dtype=np.int64)  # rank -> row index
+        inv[rank] = np.arange(n)
+        rows = []
+        batch_id = int(pdf["batch_id"].iloc[0])
+        for root_rank in pd.unique(label):
+            members = np.where(label == root_rank)[0]  # canonical order
+            sub_enc = enc[members]
+            mentions = [pdf["mention"].iloc[i] for i in members]
+            rows.append(
+                {
+                    "cluster_label": ids[inv[int(root_rank)]],
+                    "batch_id": batch_id,
+                    "title": modal_value(mentions),
+                    "nelements": len(members),
+                    "mentions_id": [ids[i] for i in members],
+                    "mentions": mentions,
+                    "center": sub_enc[medoid_index(sub_enc)].tolist(),
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in CLUSTER_SCHEMA.fields])
+
+    return nil_df.select(
+        "batch_id", "conv_id", "turn_idx", "start_tok", "mention_id",
+        "mention", "encoding",
+    ).groupBy("batch_id").applyInPandas(_cc_summarize, schema=CLUSTER_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # summarization (A2/A3/A10)
 # --------------------------------------------------------------------------

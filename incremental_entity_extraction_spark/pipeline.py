@@ -42,11 +42,22 @@ from pyspark.sql import functions as F
 from incremental_entity_extraction_spark.config import DEFAULT_CONFIG, PipelineConfig
 from incremental_entity_extraction_spark.operators.clustering import (
     cluster_cc,
+    cluster_summarize_cc,
     cluster_summarize_greedy,
     cluster_three_step,
     cluster_tfidf,
     summarize_clusters_df,
 )
+
+# cc-mode fused fast path gate: batches whose NIL set is at most this many
+# rows run edges+CC+summaries in ONE applyInPandas(batch) task
+# (cluster_summarize_cc) instead of the composed distributed chain — the
+# per-batch job latency of the composed chain dominates wall clock for the
+# small NIL graphs typical of incremental batches.  8192 rows bounds the
+# per-task score matrix at 8192² f32 = 256 MB in ~8 MB tiles; above the
+# gate the distributed chain (broadcast sweep / LSH blocking + adaptive
+# star-CC) runs unchanged.
+CC_FUSED_MAX = 8192
 from incremental_entity_extraction_spark.operators.fused import (
     detect_encode_retrieve,
 )
@@ -190,6 +201,17 @@ def run_batch(
         # lists (output proven identical to the composed chain by the e2e
         # oracle-parity tests)
         clusters = cluster_summarize_greedy(nil_df, cfg)
+        clusters_with_ids = assign_new_entity_ids(
+            clusters, next_rw_id, cfg
+        ).localCheckpoint()
+        labels = clusters_with_ids.select(
+            F.explode("mentions_id").alias("mention_id"), "cluster_label"
+        )
+    elif cluster_mode == "cc" and nil_df.count() <= CC_FUSED_MAX:
+        # small-batch fast path: edges+CC+summaries in one task per batch
+        # (cluster_summarize_cc docstring); labels recovered by exploding
+        # the member lists, exactly like the greedy_replay fused path
+        clusters = cluster_summarize_cc(nil_df, cfg)
         clusters_with_ids = assign_new_entity_ids(
             clusters, next_rw_id, cfg
         ).localCheckpoint()
