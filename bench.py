@@ -3,7 +3,13 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Headline metric: turns/sec of the incremental KG pipeline (mention detect →
 encode → dense top-k → NIL → cluster → KB append → triples) over transcripts
-derived from the documents table — the engine's north-star workload.  The
+derived from the documents table — the engine's north-star workload.
+``value`` is the MEDIAN of ``--reps`` full-pipeline samples (default 3) in
+cluster_mode='cc' — the scale-path engine, which is also the fastest;
+``greedy_turns_per_sec`` reports the reference-exact engine beside it for
+round-over-round comparability.  Every sample records /proc/loadavg so a
+reviewer can separate engine changes from co-tenant noise (single-sample
+artifacts caused a phantom 17% "regression" between rounds 2 and 3).  The
 ``queries`` dict adds per-query wall times for the heavier relational /
 dedup / vector queries.
 
@@ -177,7 +183,7 @@ def main() -> None:
             m.strip()
             for m in os.environ.get("SPARK_GRAFT_SCALE_MODES", "cc").split(",")
             if m.strip()
-        ]
+        ] or ["cc"]  # an empty/whitespace override falls back to the default
         load0 = _loadavg()
         work_dir = tempfile.mkdtemp(prefix="bench_world_")
         try:
@@ -235,14 +241,44 @@ def main() -> None:
     from incremental_entity_extraction_spark.entry_queries import QUERIES
     from incremental_entity_extraction_spark.session import get_spark
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    reps = max(1, reps)
+
     load0 = _loadavg()
-    wall, n_turns, n_triples = run_documents_pipeline(CPUS, SF_DIR)
-    # the scale-path engine (star-CC + LSH blocking), same input — reported
-    # alongside the reference-exact headline so both modes have evidence
-    wall_cc, _, _ = run_documents_pipeline(CPUS, SF_DIR, cluster_mode="cc")
+    # multi-rep headline: each sample is a fresh session + full pipeline run
+    # per engine, with the host load at its start — the median is the
+    # headline, the per-sample list is the evidence
+    samples = []
+    n_turns = n_triples = 0
+    for _ in range(reps):
+        s = {"host_load_start": _loadavg()}
+        wall_cc, n_turns, n_triples = run_documents_pipeline(
+            CPUS, SF_DIR, cluster_mode="cc"
+        )
+        s["cc_wall_s"] = round(wall_cc, 3)
+        # the reference-exact engine, same input — kept beside the scale
+        # engine so both modes have round-over-round evidence
+        wall_g, _, _ = run_documents_pipeline(
+            CPUS, SF_DIR, cluster_mode="greedy_replay"
+        )
+        s["greedy_wall_s"] = round(wall_g, 3)
+        samples.append(s)
+
+    def _median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+    cc_walls = [s["cc_wall_s"] for s in samples]
+    g_walls = [s["greedy_wall_s"] for s in samples]
 
     spark = get_spark(cores=CPUS, app_name="bench-queries")
-    q_times = {"kg_pipeline": round(wall, 3), "kg_pipeline_cc": round(wall_cc, 3)}
+    q_times = {
+        "kg_pipeline": round(_median(g_walls), 3),
+        "kg_pipeline_cc": round(_median(cc_walls), 3),
+    }
     for name in BENCH_QUERIES:
         t0 = time.time()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -253,9 +289,16 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "kg_pipeline_turns_per_sec",
-                "value": round(n_turns / wall, 2),
+                # headline = the scale-path engine (cc), median of reps
+                "value": round(n_turns / _median(cc_walls), 2),
                 "unit": "turns/sec",
-                "cc_turns_per_sec": round(n_turns / wall_cc, 2),
+                "cluster_mode": "cc",
+                "cc_turns_per_sec": round(n_turns / _median(cc_walls), 2),
+                "cc_turns_per_sec_best": round(n_turns / min(cc_walls), 2),
+                "greedy_turns_per_sec": round(n_turns / _median(g_walls), 2),
+                "greedy_turns_per_sec_best": round(n_turns / min(g_walls), 2),
+                "reps": reps,
+                "samples": samples,
                 "queries": q_times,
                 "sf": sf,
                 "n_turns": n_turns,

@@ -38,6 +38,30 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: F.length(t) > 0)
 
 
+# on-disk fixture dirs for the scan round-trip queries (q37/q46), built once
+# per (kind, sf_dir) and cleaned at interpreter exit — repeated invocations
+# in a long-lived process must reuse the dir, not accrete tmpdirs + atexit
+# registrations
+_fixture_dirs: dict[tuple[str, str], str] = {}
+
+
+def _fixture_dir(kind: str, sf_dir: str, builder) -> str:
+    import atexit
+    import os
+
+    key = (kind, os.path.abspath(sf_dir))
+    d = _fixture_dirs.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = tempfile.mkdtemp(prefix=f"{kind}_")
+    # the returned DataFrames scan these files lazily, so the dir must
+    # outlive the query call; one atexit entry per (kind, sf_dir)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    builder(d)
+    _fixture_dirs[key] = d
+    return d
+
+
 # SQL fragment: tokenized documents (DuckDB)
 _SQL_TOKS = """
     SELECT doc_id, t.tok AS tok, t.i AS i
@@ -1154,27 +1178,24 @@ def q37_conll_scan(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    pdf = d.orderBy("doc_id").toPandas()
-    import atexit
 
-    tok_re = re.compile(r"[a-z0-9]+")
-    n_files = 4  # exercise the multi-file scan path
-    tmpdir = tempfile.mkdtemp(prefix="conll_q37_")
-    # the returned DataFrame scans these files lazily, so the fixture dir
-    # must outlive this call — clean it at interpreter exit instead of
-    # leaking it across bench/correctness runs
-    atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
-    handles = [
-        open(os.path.join(tmpdir, f"part{i}.conll"), "w") for i in range(n_files)
-    ]
-    for row in pdf.itertuples(index=False):
-        f = handles[int(row.doc_id) % n_files]
-        f.write(f"-DOCSTART- ({int(row.doc_id) + 1} testa)\n")
-        for t in tok_re.findall((row.text or "").lower()):
-            f.write(t + "\n")
-    for f in handles:
-        f.close()
-    spans = read_aida_yago_conll(spark, tmpdir)
+    def _build(tmpdir):
+        pdf = d.orderBy("doc_id").toPandas()
+        tok_re = re.compile(r"[a-z0-9]+")
+        n_files = 4  # exercise the multi-file scan path
+        handles = [
+            open(os.path.join(tmpdir, f"part{i}.conll"), "w")
+            for i in range(n_files)
+        ]
+        for row in pdf.itertuples(index=False):
+            f = handles[int(row.doc_id) % n_files]
+            f.write(f"-DOCSTART- ({int(row.doc_id) + 1} testa)\n")
+            for t in tok_re.findall((row.text or "").lower()):
+                f.write(t + "\n")
+        for f in handles:
+            f.close()
+
+    spans = read_aida_yago_conll(spark, _fixture_dir("conll_q37", sf_dir, _build))
     return (
         spans.select(F.col("doc_id").cast("long").alias("doc_id"), "end")
         .join(d.select("doc_id", "source"), "doc_id")
@@ -1557,7 +1578,6 @@ def q46_jsonl_scan(spark, sf_dir):
     PERMISSIVE scan (operators/jsonl_source.py — no inference pass, corrupt
     lines quarantined), and the per-role aggregate over the CLEAN rows must
     equal DuckDB recomputing the derivation relationally from documents."""
-    import atexit
     import gzip
     import json as _json
     import os
@@ -1567,33 +1587,36 @@ def q46_jsonl_scan(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    pdf = d.orderBy("doc_id").toPandas()
-    tmpdir = tempfile.mkdtemp(prefix="jsonl_q46_")
-    atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
-    roles = ["user", "assistant", "tool"]
-    handles = [
-        open(os.path.join(tmpdir, f"part{i}.jsonl"), "wt") for i in range(3)
-    ] + [gzip.open(os.path.join(tmpdir, "part3.jsonl.gz"), "wt")]
-    for row in pdf.itertuples(index=False):
-        i = int(row.doc_id)
-        handles[i % 4].write(
-            _json.dumps(
-                {
-                    "conv_id": f"conv_{i % 37:03d}",
-                    "turn_idx": i,
-                    "role": roles[i % 3],
-                    "text": row.text,
-                }
+
+    def _build(tmpdir):
+        pdf = d.orderBy("doc_id").toPandas()
+        roles = ["user", "assistant", "tool"]
+        handles = [
+            open(os.path.join(tmpdir, f"part{i}.jsonl"), "wt") for i in range(3)
+        ] + [gzip.open(os.path.join(tmpdir, "part3.jsonl.gz"), "wt")]
+        for row in pdf.itertuples(index=False):
+            i = int(row.doc_id)
+            handles[i % 4].write(
+                _json.dumps(
+                    {
+                        "conv_id": f"conv_{i % 37:03d}",
+                        "turn_idx": i,
+                        "role": roles[i % 3],
+                        "text": row.text,
+                    }
+                )
+                + "\n"
             )
-            + "\n"
-        )
-    # torn lines (one plain, one inside the gzip member) must be quarantined,
-    # not parsed as nulls and not fail the scan
-    handles[0].write('{"conv_id": "torn", "turn_idx": \n')
-    handles[3].write("not json at all\n")
-    for f in handles:
-        f.close()
-    clean, _corrupt = read_transcripts_jsonl(spark, tmpdir)
+        # torn lines (one plain, one inside the gzip member) must be
+        # quarantined, not parsed as nulls and not fail the scan
+        handles[0].write('{"conv_id": "torn", "turn_idx": \n')
+        handles[3].write("not json at all\n")
+        for f in handles:
+            f.close()
+
+    clean, _corrupt = read_transcripts_jsonl(
+        spark, _fixture_dir("jsonl_q46", sf_dir, _build)
+    )
     return clean.groupBy("role").agg(
         F.count("*").cast("long").alias("n_turns"),
         F.countDistinct("conv_id").cast("long").alias("n_convs"),
@@ -1694,6 +1717,28 @@ def q47_sql():
     """
 
 
+def q48_dedup_groups_cc_star(spark, sf_dir):
+    """q47's CC dedup-group query with ``small_graph_edges=0``, ORACLE-
+    CHECKED: forces the DISTRIBUTED large-star/small-star rounds instead of
+    the single-task union-find fast path that answers q47 at these graph
+    sizes — so the code path that runs at 100× scale is the one the oracle
+    checks here.  Same pair graph, same lexicographic-min label contract,
+    same DuckDB recursive-CTE twin."""
+    from incremental_entity_extraction_spark.operators.dedup import (
+        dedup_connected_groups,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.2)
+    groups = dedup_connected_groups(pairs, small_graph_edges=0)
+    return groups.groupBy("canonical_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("id").cast("long").alias("sum_ids"),
+        F.max("id").cast("long").alias("max_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1745,6 +1790,7 @@ QUERIES = {
     "q45_ngram_jaccard_capped": q45_ngram_jaccard_capped,
     "q46_jsonl_scan": q46_jsonl_scan,
     "q47_dedup_groups_cc": q47_dedup_groups_cc,
+    "q48_dedup_groups_cc_star": q48_dedup_groups_cc_star,
 }
 
 ORACLE_SQL = {
@@ -1785,4 +1831,5 @@ ORACLE_SQL = {
     "q45_ngram_jaccard_capped": q45_sql(),
     "q46_jsonl_scan": q46_sql(),
     "q47_dedup_groups_cc": q47_sql(),
+    "q48_dedup_groups_cc_star": q47_sql(),  # same semantics, forced star path
 }

@@ -177,6 +177,7 @@ def fused_mentions_frame(
     dim: int,
     norm: float,
     encoder=None,
+    with_encoding_col: bool = True,
 ) -> tuple[pd.DataFrame, np.ndarray] | None:
     """One Arrow batch of transcripts -> (enriched mention frame, encoding
     matrix).  The (n, dim) float32 matrix is returned alongside the frame
@@ -220,5 +221,9 @@ def fused_mentions_frame(
                 f"encoder returned shape {enc.shape}, expected "
                 f"({len(out)}, {dim}) — see detect_encode_retrieve docstring"
             )
-    out["encoding"] = list(enc)
+    if with_encoding_col:
+        # per-row object column for the pandas/mapInPandas consumers; the
+        # Arrow consumers (operators/fused.py) build the list column
+        # straight from the flat matrix instead and skip this
+        out["encoding"] = list(enc)
     return out, enc

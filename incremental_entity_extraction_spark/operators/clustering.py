@@ -316,7 +316,14 @@ def cluster_summarize_cc(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
             A = S > th
             np.fill_diagonal(A[:, i0 : i0 + chunk], False)
             adj_chunks.append(A)
-        # min-rank propagation to fixpoint (O(diameter) sweeps, all numpy)
+        inv = np.empty(n, dtype=np.int64)  # rank -> row index
+        inv[rank] = np.arange(n)
+        # min-rank propagation with pointer doubling after every adjacency
+        # sweep: one sweep moves the min one hop, the doubling pass then
+        # collapses label chains (label[i] -> label of its current min-rank
+        # node) to fixpoint, so convergence is O(log n) sweeps even on an
+        # adversarial chain-shaped component — not O(diameter).  The fixpoint
+        # is the same min-rank-per-component labeling either way.
         label = rank.copy()
         for _ in range(n + 1):
             changed = False
@@ -329,10 +336,13 @@ def cluster_summarize_cc(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
                     label[pos : pos + m] = new
                     changed = True
                 pos += m
+            while True:  # pointer doubling (a rank is itself a node id via inv)
+                nl = np.minimum(label, label[inv[label]])
+                if np.array_equal(nl, label):
+                    break
+                label = nl
             if not changed:
                 break
-        inv = np.empty(n, dtype=np.int64)  # rank -> row index
-        inv[rank] = np.arange(n)
         rows = []
         batch_id = int(pdf["batch_id"].iloc[0])
         for root_rank in pd.unique(label):

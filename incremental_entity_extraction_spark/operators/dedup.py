@@ -544,11 +544,20 @@ def embedding_near_dup_pairs_oracle(
     )
 
 
-def dedup_connected_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+def dedup_connected_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    small_graph_edges: int = 100_000,
+) -> DataFrame:
     """Collapse near-dup pairs into groups: (id, canonical_id) via
     large-star/small-star CC (O(log n) rounds regardless of diameter —
     near-dup graphs are often chain-shaped, where min-label propagation
     needs O(diameter) rounds).
+
+    ``small_graph_edges`` passes through to ``connected_components_star``:
+    graphs at or below it run the single-task union-find fast path; 0 forces
+    the distributed star rounds (q48 oracle-checks that path).
 
     Caveat: string labels compare lexicographically, so canonical_id is the
     lexicographic (not numeric) min member — stable and deterministic, which
@@ -565,7 +574,9 @@ def dedup_connected_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id
         .union(edges.select("dst"))
         .distinct()
     )
-    out = connected_components_star(vertices, edges)
+    out = connected_components_star(
+        vertices, edges, small_graph_edges=small_graph_edges
+    )
     return out.select(
         F.col("mention_id").cast("long").alias("id"),
         F.col("cluster_label").cast("long").alias("canonical_id"),

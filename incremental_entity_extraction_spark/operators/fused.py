@@ -17,7 +17,9 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
@@ -28,7 +30,7 @@ from incremental_entity_extraction_spark.functions.fused_kernel import (
 from incremental_entity_extraction_spark.operators.retrieval import (
     CANDIDATE_STRUCT,
     KBShard,
-    topk_candidates_kernel,
+    topk_candidates_columnar,
 )
 
 ENCODED_SCHEMA = T.StructType(
@@ -49,6 +51,65 @@ FUSED_SCHEMA = T.StructType(
     ENCODED_SCHEMA.fields
     + [T.StructField("candidates", T.ArrayType(CANDIDATE_STRUCT), False)]
 )
+
+_BASE_COLS = [
+    "mention_id", "conv_id", "turn_idx", "batch_id", "start_tok",
+    "mention", "context_left", "context_right",
+]
+
+
+def _encoding_list_array(enc: np.ndarray) -> pa.ListArray:
+    """(n, dim) float32 matrix -> arrow list<float> column, zero per-row work
+    (one flat values buffer + arithmetic offsets)."""
+    n, dim = enc.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int64) * dim, type=pa.int32()),
+        pa.array(enc.ravel(), type=pa.float32()),
+    )
+
+
+def _candidates_list_array(
+    counts: np.ndarray,
+    ids: np.ndarray,
+    idxr: np.ndarray,
+    wids: np.ndarray,
+    titles: np.ndarray,
+    sc: np.ndarray,
+    norm2: float,
+) -> pa.ListArray:
+    """Flat columnar top-k output -> arrow list<struct> candidates column.
+
+    norm_score divides in float64 then rounds once to float32 — the same
+    rounding path as the row-major kernel's ``float(score/norm2)`` followed
+    by Spark's FloatType cast, so the two assemblies are bit-identical."""
+    offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    norm_sc = (sc.astype(np.float64) / norm2).astype(np.float32)
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(ids, type=pa.int64()),
+            pa.array(idxr, type=pa.int32()),
+            pa.array(wids, type=pa.int64()),
+            pa.array(titles, type=pa.string()),
+            pa.array(sc, type=pa.float32()),
+            pa.array(norm_sc, type=pa.float32()),
+        ],
+        names=[f.name for f in CANDIDATE_STRUCT.fields],
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets), struct)
+
+
+def _base_arrays(out: pd.DataFrame) -> list[pa.Array]:
+    return [
+        pa.array(out["mention_id"], type=pa.string()),
+        pa.array(out["conv_id"], type=pa.string()),
+        pa.array(out["turn_idx"].to_numpy(), type=pa.int32()),
+        pa.array(out["batch_id"].to_numpy(), type=pa.int32()),
+        pa.array(out["start_tok"].to_numpy(), type=pa.int32()),
+        pa.array(out["mention"], type=pa.string()),
+        pa.array(out["context_left"], type=pa.string()),
+        pa.array(out["context_right"], type=pa.string()),
+    ]
 
 
 def detect_encode_retrieve(
@@ -75,22 +136,36 @@ def detect_encode_retrieve(
     k_cfg = cfg.top_k
     norm2 = float(cfg.vector_norm) ** 2
 
-    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _fused(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         shard_list = bc.value
-        for pdf in batches:
+        for rb in batches:
             # vectorized partition kernel (functions/fused_kernel.py) —
             # bit-identical to the per-row detection/window/encode chain
             res = fused_mentions_frame(
-                pdf, known_words, max_tok, dim, norm, encoder
+                rb.to_pandas(), known_words, max_tok, dim, norm, encoder,
+                with_encoding_col=False,
             )
             if res is None:
                 continue
             out, enc = res
-            out["candidates"] = topk_candidates_kernel(enc, shard_list, k_cfg, norm2)
-            yield out
+            # columnar assembly end-to-end: the encoding column comes
+            # straight from the flat (n, dim) matrix and the candidates
+            # column from the kernel's flat top-k arrays — no per-row lists,
+            # no per-candidate dicts (the last per-row Python on this path)
+            yield pa.RecordBatch.from_arrays(
+                _base_arrays(out)
+                + [
+                    _encoding_list_array(enc),
+                    _candidates_list_array(
+                        *topk_candidates_columnar(enc, shard_list, k_cfg, norm2),
+                        norm2,
+                    ),
+                ],
+                names=[f.name for f in FUSED_SCHEMA.fields],
+            )
 
     cols = ["conv_id", "turn_idx", "batch_id", "text"]
-    return transcripts.select(*cols).mapInPandas(_fused, schema=FUSED_SCHEMA)
+    return transcripts.select(*cols).mapInArrow(_fused, schema=FUSED_SCHEMA)
 
 
 def detect_encode(
@@ -105,13 +180,19 @@ def detect_encode(
     ``detect_encode_retrieve``; output = ENCODED_SCHEMA."""
     dim, norm, max_tok = cfg.dim, cfg.vector_norm, cfg.max_context_tokens
 
-    def _de(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def _de(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
             res = fused_mentions_frame(
-                pdf, known_words, max_tok, dim, norm, encoder
+                rb.to_pandas(), known_words, max_tok, dim, norm, encoder,
+                with_encoding_col=False,
             )
-            if res is not None:
-                yield res[0]
+            if res is None:
+                continue
+            out, enc = res
+            yield pa.RecordBatch.from_arrays(
+                _base_arrays(out) + [_encoding_list_array(enc)],
+                names=[f.name for f in ENCODED_SCHEMA.fields],
+            )
 
     cols = ["conv_id", "turn_idx", "batch_id", "text"]
-    return transcripts.select(*cols).mapInPandas(_de, schema=ENCODED_SCHEMA)
+    return transcripts.select(*cols).mapInArrow(_de, schema=ENCODED_SCHEMA)

@@ -120,18 +120,24 @@ def retrieve_topk(
     return mentions.mapInPandas(_topk, schema=out_schema)
 
 
-def topk_candidates_kernel(
+def topk_candidates_columnar(
     enc: np.ndarray, shard_list: list[KBShard], k: int, norm2: float
-) -> list[list[dict]]:
-    """Exact top-k candidate lists for an encoding matrix vs broadcast shards.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Exact top-k candidates for an encoding matrix vs broadcast shards, as
+    COLUMNAR flat arrays: ``(counts, ids, indexer, wikipedia_id, title,
+    score)`` where row ``r``'s candidates are the slice
+    ``[counts[:r].sum() : counts[:r+1].sum())`` in global rank order
+    (score desc, indexer asc, id asc).
 
     Per-shard, per-tile top-k, then merge (two-level top-k, SURVEY.md W1).
     Entity tiles keep the score block cache-resident (chunk × _ENT_TILE
     floats ≈ 8 MB) — a full chunk × n_entities block is DRAM-bandwidth-bound
-    and collapses under concurrent workers.
+    and collapses under concurrent workers.  No per-row Python: the flat
+    arrays feed Arrow struct/list builders directly (operators/fused.py).
     """
     n = len(enc)
-    cands_col: list[list[dict]] = []
+    counts = np.zeros(n, dtype=np.int32)
+    f_ids, f_idxr, f_wids, f_titles, f_sc = [], [], [], [], []
     for lo in range(0, n, _SCORE_CHUNK_ROWS):
         chunk = enc[lo : lo + _SCORE_CHUNK_ROWS]
         parts = []
@@ -156,7 +162,6 @@ def topk_candidates_kernel(
                     )
                 )
         if not parts:
-            cands_col.extend([[] for _ in range(len(chunk))])
             continue
         sc = np.concatenate([p[0] for p in parts], axis=1)
         ids = np.concatenate([p[1] for p in parts], axis=1)
@@ -167,23 +172,56 @@ def topk_candidates_kernel(
         # deterministic global order: score desc, indexer asc, id asc
         order = np.lexsort((ids, idxr, -sc), axis=1)[:, :kk]
         rows = np.arange(len(chunk))[:, None]
-        sc, ids = sc[rows, order], ids[rows, order]
-        idxr, wids = idxr[rows, order], wids[rows, order]
-        titles = titles[rows, order]
-        for r in range(len(chunk)):
-            cands_col.append(
-                [
-                    {
-                        "id": int(ids[r, c]),
-                        "indexer": int(idxr[r, c]),
-                        "wikipedia_id": int(wids[r, c]),
-                        "title": str(titles[r, c]),
-                        "score": float(sc[r, c]),
-                        "norm_score": float(sc[r, c] / norm2),
-                    }
-                    for c in range(kk)
-                ]
-            )
+        counts[lo : lo + len(chunk)] = kk
+        f_sc.append(sc[rows, order].ravel())
+        f_ids.append(ids[rows, order].ravel())
+        f_idxr.append(idxr[rows, order].ravel())
+        f_wids.append(wids[rows, order].ravel())
+        f_titles.append(titles[rows, order].ravel())
+
+    def _cat(parts, dtype):
+        return (
+            np.concatenate(parts)
+            if parts
+            else np.empty(0, dtype=dtype)
+        )
+
+    return (
+        counts,
+        _cat(f_ids, np.int64),
+        _cat(f_idxr, np.int32),
+        _cat(f_wids, np.int64),
+        _cat(f_titles, object),
+        _cat(f_sc, np.float32),
+    )
+
+
+def topk_candidates_kernel(
+    enc: np.ndarray, shard_list: list[KBShard], k: int, norm2: float
+) -> list[list[dict]]:
+    """Row-major list-of-dicts view of ``topk_candidates_columnar`` — kept
+    for the composable ``retrieve_topk`` operator and the NumPy-oracle
+    tests; the fused hot path consumes the columnar form directly."""
+    counts, ids, idxr, wids, titles, sc = topk_candidates_columnar(
+        enc, shard_list, k, norm2
+    )
+    cands_col: list[list[dict]] = []
+    pos = 0
+    for c in counts:
+        cands_col.append(
+            [
+                {
+                    "id": int(ids[j]),
+                    "indexer": int(idxr[j]),
+                    "wikipedia_id": int(wids[j]),
+                    "title": str(titles[j]),
+                    "score": float(sc[j]),
+                    "norm_score": float(sc[j] / norm2),
+                }
+                for j in range(pos, pos + int(c))
+            ]
+        )
+        pos += int(c)
     return cands_col
 
 

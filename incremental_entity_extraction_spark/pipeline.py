@@ -49,15 +49,6 @@ from incremental_entity_extraction_spark.operators.clustering import (
     summarize_clusters_df,
 )
 
-# cc-mode fused fast path gate: batches whose NIL set is at most this many
-# rows run edges+CC+summaries in ONE applyInPandas(batch) task
-# (cluster_summarize_cc) instead of the composed distributed chain — the
-# per-batch job latency of the composed chain dominates wall clock for the
-# small NIL graphs typical of incremental batches.  8192 rows bounds the
-# per-task score matrix at 8192² f32 = 256 MB in ~8 MB tiles; above the
-# gate the distributed chain (broadcast sweep / LSH blocking + adaptive
-# star-CC) runs unchanged.
-CC_FUSED_MAX = 8192
 from incremental_entity_extraction_spark.operators.fused import (
     detect_encode_retrieve,
 )
@@ -74,6 +65,16 @@ from incremental_entity_extraction_spark.operators.triples import (
     cluster_triples,
     mention_triples,
 )
+
+# cc-mode fused fast path gate: batches whose NIL set is at most this many
+# rows run edges+CC+summaries in ONE applyInPandas(batch) task
+# (cluster_summarize_cc) instead of the composed distributed chain — the
+# per-batch job latency of the composed chain dominates wall clock for the
+# small NIL graphs typical of incremental batches.  8192 rows bounds the
+# per-task score matrix at 8192² f32 = 256 MB in ~8 MB tiles; above the
+# gate the distributed chain (broadcast sweep / LSH blocking + adaptive
+# star-CC) runs unchanged.
+CC_FUSED_MAX = 8192
 
 
 @dataclass
@@ -141,6 +142,7 @@ def run_batch(
     encoder=None,
     retrieval_mode: str = "broadcast",
     kb_ro_df: DataFrame | None = None,
+    rw_df: DataFrame | None = None,
 ):
     """One batch: transcripts -> (nil_scored, clusters_with_ids, new_entities,
     triples).  Nothing is collected except the (small) cluster/new-entity
@@ -150,7 +152,11 @@ def run_batch(
     single-hop detect→encode→retrieve — exact, for KBs within the broadcast
     budget (the reference's regime).  ``'ivf'``: the KB stays a DataFrame
     (``kb_ro_df`` + the RW delta) and candidates come from the distributed
-    IVF engine — approximate, for entity dimensions beyond broadcast."""
+    IVF engine — approximate, for entity dimensions beyond broadcast.  In
+    ivf mode the RW delta is preferably passed as ``rw_df`` (a DataFrame —
+    ``run_incremental`` threads it through the lake's ``new_entities`` table
+    so driver memory never accretes); ``rw_pdf`` is the fallback for direct
+    callers."""
     if retrieval_mode == "ivf":
         from incremental_entity_extraction_spark.operators.fused import (
             detect_encode,
@@ -159,15 +165,14 @@ def run_batch(
             retrieve_topk_ann,
         )
 
-        kb_df = kb_ro_df.select(
-            "id", "indexer", "wikipedia_id", "title", "embedding"
-        )
-        if len(rw_pdf):
+        kb_cols = ["id", "indexer", "wikipedia_id", "title", "embedding"]
+        kb_df = kb_ro_df.select(*kb_cols)
+        if rw_df is not None:
+            kb_df = kb_df.unionByName(rw_df.select(*kb_cols))
+        elif len(rw_pdf):
             spark = transcripts_batch.sparkSession
             kb_df = kb_df.unionByName(
-                spark.createDataFrame(
-                    rw_pdf[["id", "indexer", "wikipedia_id", "title", "embedding"]]
-                )
+                spark.createDataFrame(rw_pdf[kb_cols])
             )
         # one fused detect+encode hop (not two chained mapInPandas), then
         # the distributed ANN join — the KB is never collected or broadcast
@@ -188,8 +193,13 @@ def run_batch(
         )
     nil_scored = predict_nil(enriched, cfg)
     # two materialization barriers by design (SURVEY.md §3.1): clustering is
-    # iterative, and the KB append is the batch boundary.
-    nil_scored = nil_scored.localCheckpoint()
+    # iterative, and the KB append is the batch boundary.  The NIL count the
+    # cc fast-path gate needs rides this checkpoint action as an Observation
+    # — no standalone count job per batch.
+    gate_obs = Observation()
+    nil_scored = nil_scored.observe(
+        gate_obs, F.sum(F.col("is_nil").cast("long")).alias("n_nil")
+    ).localCheckpoint()
 
     nil_df = nil_scored.filter(F.col("is_nil")).select(
         "mention_id", "conv_id", "turn_idx", "start_tok", "batch_id",
@@ -207,7 +217,7 @@ def run_batch(
         labels = clusters_with_ids.select(
             F.explode("mentions_id").alias("mention_id"), "cluster_label"
         )
-    elif cluster_mode == "cc" and nil_df.count() <= CC_FUSED_MAX:
+    elif cluster_mode == "cc" and int(gate_obs.get["n_nil"] or 0) <= CC_FUSED_MAX:
         # small-batch fast path: edges+CC+summaries in one task per batch
         # (cluster_summarize_cc docstring); labels recovered by exploding
         # the member lists, exactly like the greedy_replay fused path
@@ -423,18 +433,60 @@ def run_incremental(
                 break
 
     # rebuild RW state from the lake (resume) — completed prefix only
-    rw_df = lake.read(spark, "new_entities")
-    if rw_df is not None and done:
-        rw_pdf = rw_df.filter(F.col("batch_id").isin([int(b) for b in done])).drop(
-            "batch_id"
-        ).toPandas()
+    empty_rw = pd.DataFrame(
+        columns=["id", "indexer", "wikipedia_id", "title", "descr", "type_", "embedding"]
+    )
+    drained: set[int] = {int(b) for b in done}
+    lake_rw = lake.read(spark, "new_entities")
+    last_delta_pdf: pd.DataFrame | None = None
+    if retrieval_mode == "ivf":
+        # ivf exists for the beyond-broadcast regime, so RW state must not
+        # accrete in driver memory: it stays IN the lake's ``new_entities``
+        # table.  The driver keeps only ``next_rw_id`` plus the single
+        # in-flight delta whose async write has not drained yet (bounded at
+        # one batch); each batch's KB union reads the drained partitions
+        # back as a DataFrame (_rw_state_df).
+        rw_pdf = empty_rw
+        next_rw_id = 0
+        if lake_rw is not None and drained:
+            mx = (
+                lake_rw.filter(F.col("batch_id").isin(sorted(drained)))
+                .agg(F.max("id"))
+                .first()[0]
+            )
+            next_rw_id = int(mx) + 1 if mx is not None else 0
+    elif lake_rw is not None and done:
+        rw_pdf = lake_rw.filter(
+            F.col("batch_id").isin([int(b) for b in done])
+        ).drop("batch_id").toPandas()
     else:
-        rw_pdf = pd.DataFrame(
-            columns=["id", "indexer", "wikipedia_id", "title", "descr", "type_", "embedding"]
-        )
-    next_rw_id = int(rw_pdf["id"].max()) + 1 if len(rw_pdf) else 0
-    if dels and len(rw_pdf):
-        rw_pdf = rw_pdf[~rw_pdf["id"].isin(dels)].reset_index(drop=True)
+        rw_pdf = empty_rw
+    if retrieval_mode != "ivf":
+        next_rw_id = int(rw_pdf["id"].max()) + 1 if len(rw_pdf) else 0
+        if dels and len(rw_pdf):
+            rw_pdf = rw_pdf[~rw_pdf["id"].isin(dels)].reset_index(drop=True)
+
+    def _rw_state_df() -> DataFrame | None:
+        """ivf mode: the RW entity table as a DataFrame — lake partitions of
+        drained batches + the one not-yet-drained in-memory delta."""
+        if retrieval_mode != "ivf":
+            return None
+        parts: list[DataFrame] = []
+        cur = lake.read(spark, "new_entities")
+        if cur is not None and drained:
+            parts.append(
+                cur.filter(F.col("batch_id").isin(sorted(drained))).drop("batch_id")
+            )
+        if last_delta_pdf is not None and len(last_delta_pdf):
+            parts.append(spark.createDataFrame(last_delta_pdf))
+        if not parts:
+            return None
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.unionByName(extra)
+        if dels:
+            out = out.filter(~F.col("id").isin(dels))
+        return out
 
     stats_rows = []
     # pipeline parallelism across the batch boundary: batch N's table writes
@@ -448,6 +500,7 @@ def run_incremental(
         b_prev, bp_prev, extra = p
         stats = {**bp_prev.finish(), **extra}
         lake.mark_complete(int(b_prev), stats)
+        drained.add(int(b_prev))  # its new_entities partition is now readable
         stats_rows.append({"batch_id": int(b_prev), **stats})
 
     try:
@@ -460,7 +513,7 @@ def run_incremental(
             )
             nil_scored, clusters_with_ids, new_entities, triples = run_batch(
                 tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words,
-                encoder, retrieval_mode, kb_ro,
+                encoder, retrieval_mode, kb_ro, rw_df=_rw_state_df(),
             )
             # S7 analogue: persist the enriched mention table per batch
             # (reference pickles outdata per batch, eval_kbp.py:654-658);
@@ -471,7 +524,13 @@ def run_incremental(
             )
             # thread RW state forward (small dimension delta)
             add_pdf = bp.rw_delta()
-            if len(add_pdf):
+            if retrieval_mode == "ivf":
+                # keep only this batch's delta in memory; older batches are
+                # read back from the lake once their writes drain
+                last_delta_pdf = add_pdf
+                if len(add_pdf):
+                    next_rw_id = max(next_rw_id, int(add_pdf["id"].max()) + 1)
+            elif len(add_pdf):
                 rw_pdf = (
                     pd.concat([rw_pdf, add_pdf], ignore_index=True)
                     if len(rw_pdf)

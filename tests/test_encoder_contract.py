@@ -76,3 +76,36 @@ def test_torch_adapter_raises_without_torch():
         pass
     with pytest.raises(ImportError, match="hash featurizer"):
         make_torch_encoder("some-model", dim=64)
+
+
+def test_torch_adapter_happy_path_when_deps_present(cfg):
+    """Skip-if-missing smoke test for the real-model adapter: nothing in
+    this sandbox can run it (torch absent), but the day the deps appear
+    this pins the shape/dtype/norm contract of make_torch_encoder against
+    an actual SentenceTransformer model — without it the adapter's happy
+    path would ship forever unexecuted."""
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("torch")
+    pytest.importorskip("sentence_transformers")
+    from incremental_entity_extraction_spark.operators.torch_encoder import (
+        make_torch_encoder,
+    )
+
+    # smallest commonly-cached sentence-transformers model; skip (not fail)
+    # when it can't be resolved — CI boxes without network or a HF cache
+    # still get the construction-path coverage above
+    try:
+        enc = make_torch_encoder(
+            "sentence-transformers/all-MiniLM-L6-v2",
+            dim=384,
+            vector_norm=float(cfg.vector_norm),
+        )
+        out = enc([["acme", "corp"], ["widget"]], [[2.0, 2.0], [2.0]])
+    except Exception as e:  # model download/resolution failure, not contract
+        pytest.skip(f"model unavailable: {type(e).__name__}: {e}")
+    assert out.shape == (2, 384)
+    assert out.dtype == np.float32
+    norms = np.linalg.norm(np.asarray(out, dtype=np.float64), axis=1)
+    np.testing.assert_allclose(norms, float(cfg.vector_norm), rtol=1e-4)

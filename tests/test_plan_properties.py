@@ -81,7 +81,8 @@ def test_fused_stage_is_narrow(spark, spark_world):
     plan = plan_of(df)
     _assert_clean(plan, allow_single_partition=False, label="fused")
     assert "Exchange" not in plan, "fused stage must not shuffle"
-    assert "MapInPandas" in plan
+    # the fused stage is a single Arrow-native Python pass
+    assert "MapInArrow" in plan or "MapInPandas" in plan
 
 
 def test_topk_per_key_uses_window_group_limit(spark, spark_world):

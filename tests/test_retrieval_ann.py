@@ -141,3 +141,39 @@ def test_large_indexer_decodes_exactly(spark, cfg):
     assert len(cands) > 0
     assert all(c["indexer"] == big_indexer for c in cands)
     assert cands[0]["id"] == 0  # self-similar vector decodes to the right id
+
+
+def test_ivf_resume_is_byte_identical_and_driver_state_bounded(
+    spark, spark_world, cfg, tmp_path
+):
+    """ivf-mode RW state threads through the lake's new_entities table, so a
+    crash-resume run must reproduce the uninterrupted run's triples exactly
+    (ids deterministic from the lake prefix, not from any driver frame)."""
+    from pyspark.sql import functions as F
+
+    from incremental_entity_extraction_spark.pipeline import Lake, run_incremental
+
+    def _triples(lake):
+        pdf = spark.read.parquet(lake.path("triples")).toPandas()
+        return set(map(tuple, pdf[["subj", "pred", "obj"]].itertuples(index=False)))
+
+    full = Lake(str(tmp_path / "ivf_full"))
+    run_incremental(
+        spark, spark_world["transcripts"], spark_world["entities_kb"], full,
+        cfg, cluster_mode="greedy_replay", retrieval_mode="ivf",
+    )
+
+    part = Lake(str(tmp_path / "ivf_part"))
+    run_incremental(
+        spark,
+        spark_world["transcripts"].filter(F.col("batch_id") <= 1),
+        spark_world["entities_kb"], part, cfg,
+        cluster_mode="greedy_replay", retrieval_mode="ivf",
+    )
+    assert part.completed_batches() == {0, 1}
+    stats = run_incremental(
+        spark, spark_world["transcripts"], spark_world["entities_kb"], part,
+        cfg, cluster_mode="greedy_replay", retrieval_mode="ivf",
+    )
+    assert [s["batch_id"] for s in stats] == [2, 3]
+    assert _triples(part) == _triples(full)

@@ -60,19 +60,42 @@ def check_zip(zip_path: str = ZIP_PATH, root: str = ROOT) -> list[str]:
     return problems
 
 
+def zip_in_use(zip_name: str = "iees.zip") -> bool:
+    """True when this process was launched with the --py-files zip: the zip
+    (or a staged copy of it) is on sys.path, or named in the spark-submit
+    args.  A plain source-checkout run (`python jobs/run_pipeline.py`)
+    imports from the tree and never touches the zip."""
+    if any(os.path.basename(p) == zip_name for p in sys.path):
+        return True
+    return zip_name in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+
+
 def require_fresh_zip(zip_path: str = ZIP_PATH, root: str = ROOT) -> None:
-    """Hard-fail when dist/iees.zip exists but is out of sync with the tree.
+    """Fail when dist/iees.zip is out of sync with the tree AND this run is
+    actually executing from it (``zip_in_use``) — a spark-submit --py-files
+    run must never silently execute stale code.  A local source-checkout run
+    that never passes --py-files only gets a warning: it isn't running the
+    zip, so forcing a rebuild would block a dev on an artifact they aren't
+    using.
 
     Called by jobs/run_pipeline.py and jobs/link_text.py before any Spark
-    work so a spark-submit --py-files run can never execute stale code."""
+    work."""
     problems = check_zip(zip_path, root)
-    if problems:
-        detail = "\n  ".join(problems[:20])
-        raise SystemExit(
-            f"{zip_path} is STALE relative to the source tree "
-            f"({len(problems)} mismatched entries):\n  {detail}\n"
-            "Rebuild it first: python tools/make_pyfiles_zip.py"
-        )
+    if not problems:
+        return
+    detail = "\n  ".join(problems[:20])
+    msg = (
+        f"{zip_path} is STALE relative to the source tree "
+        f"({len(problems)} mismatched entries):\n  {detail}\n"
+        "Rebuild it first: python tools/make_pyfiles_zip.py"
+    )
+    if zip_in_use():
+        raise SystemExit(msg)
+    print(
+        f"WARNING: {msg}\n(continuing: this run imports from the source "
+        "tree, not the zip)",
+        file=sys.stderr,
+    )
 
 
 def build(zip_path: str = ZIP_PATH, root: str = ROOT) -> str:
