@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "q37_conll_scan",
     "q38_ivf_recall",
     "q46_jsonl_scan",
+    "q49_ivf_pq_recall",
 ]
 
 

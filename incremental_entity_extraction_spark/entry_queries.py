@@ -1183,17 +1183,21 @@ def q37_conll_scan(spark, sf_dir):
         pdf = d.orderBy("doc_id").toPandas()
         tok_re = re.compile(r"[a-z0-9]+")
         n_files = 4  # exercise the multi-file scan path
-        handles = [
-            open(os.path.join(tmpdir, f"part{i}.conll"), "w")
-            for i in range(n_files)
+        # one string per doc, one write per file — a per-token f.write loop
+        # here dominated the query's bench wall at sf0.1 (fixture build ≈9 s
+        # vs ≈1 s for the scan itself)
+        def _doc(doc_id, text):
+            toks = tok_re.findall((text or "").lower())
+            body = "\n".join(toks) + "\n" if toks else ""  # no blank line
+            return f"-DOCSTART- ({int(doc_id) + 1} testa)\n{body}"
+
+        docs = [
+            _doc(row.doc_id, row.text) for row in pdf.itertuples(index=False)
         ]
-        for row in pdf.itertuples(index=False):
-            f = handles[int(row.doc_id) % n_files]
-            f.write(f"-DOCSTART- ({int(row.doc_id) + 1} testa)\n")
-            for t in tok_re.findall((row.text or "").lower()):
-                f.write(t + "\n")
-        for f in handles:
-            f.close()
+        ids = pdf["doc_id"].astype(int).to_numpy()
+        for i in range(n_files):
+            with open(os.path.join(tmpdir, f"part{i}.conll"), "w") as f:
+                f.write("".join(s for s, k in zip(docs, ids) if k % n_files == i))
 
     spans = read_aida_yago_conll(spark, _fixture_dir("conll_q37", sf_dir, _build))
     return (
@@ -1739,6 +1743,41 @@ def q48_dedup_groups_cc_star(spark, sf_dir):
     )
 
 
+def q49_ivf_pq_recall(spark, sf_dir):
+    """IVF-PQ ANN (product-quantized buckets + exact re-rank) vs exact
+    brute-force: recall@10 over the embeddings table (rows-only; sketch
+    internals are not SQL-expressible).  The PQ index stores ~8 bytes per
+    corpus vector instead of dim×4 — the index-compression scale path for
+    corpora whose raw vectors dwarf cluster memory."""
+    from incremental_entity_extraction_spark.operators.similarity_search import (
+        cosine_topk_broadcast,
+        ivf_pq_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 100)
+    exact = cosine_topk_broadcast(q, e, k=10).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    # rerank=128: the synthetic embeddings are only loosely clustered, so
+    # the PQ shortlist needs depth before the exact re-rank recovers the
+    # true top-10 (recall ≈0.95 here; tight real corpora need far less)
+    ann = ivf_pq_topk(q, e, k=10, n_centroids=16, n_probe=12, rerank=128).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    hits = exact.join(ann, ["qid", "nid"], "left_semi")
+    return (
+        exact.groupBy()
+        .agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.groupBy().agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall_at_10"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1791,6 +1830,7 @@ QUERIES = {
     "q46_jsonl_scan": q46_jsonl_scan,
     "q47_dedup_groups_cc": q47_dedup_groups_cc,
     "q48_dedup_groups_cc_star": q48_dedup_groups_cc_star,
+    "q49_ivf_pq_recall": q49_ivf_pq_recall,
 }
 
 ORACLE_SQL = {

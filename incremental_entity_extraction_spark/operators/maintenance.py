@@ -1,0 +1,119 @@
+"""Lake maintenance: small-file compaction for incrementally-written tables.
+
+The incremental pipeline writes one file-set per (table, batch_id) partition
+per batch (pipeline.Lake.write_partition, dynamic overwrite), and the
+streaming driver does the same per micro-batch — at 10^12-turn scale that
+accretes thousands of small parquet files per partition, and small files
+are the classic lake killer (every scan pays per-file open/footer costs;
+the driver pays listing).  Real deployments run this as the Iceberg
+``rewrite_data_files`` / ``OPTIMIZE`` maintenance action; the parquet-dir
+lake gets the same semantics here:
+
+* per partition directory, if the file count exceeds what
+  ``target_file_bytes`` requires, the partition is rewritten with
+  ``coalesce`` (no shuffle — compaction is a narrow rewrite) to
+  ``ceil(bytes / target)`` files;
+* the rewrite is staged in a dot-prefixed sibling dir (invisible to Spark's
+  file listing), row-count-verified, then swapped in with two renames —
+  a crash mid-swap leaves either the old or the new partition complete,
+  and ``recover`` puts a half-swapped partition back on the next call;
+* untouched partitions are not read at all (maintenance must not scan the
+  table); content is byte-equal rows, so resume/lineage semantics are
+  unaffected — compaction never changes WHAT a partition holds, only how
+  many files hold it.
+
+No reference analogue (the reference's outputs are driver-side pickles,
+scripts/eval_kbp.py:654-658); this is part of the at-scale lake surface.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _partition_dirs(root: str) -> list[str]:
+    return sorted(
+        e
+        for e in os.listdir(root)
+        if "=" in e
+        and not e.startswith((".", "_"))
+        and os.path.isdir(os.path.join(root, e))
+    )
+
+
+def _data_files(pdir: str) -> list[str]:
+    return [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+
+
+def _recover_half_swap(root: str) -> None:
+    """A crash between the two swap renames leaves ``.compact_old_<part>``
+    holding the original partition with the live dir absent; restore it.
+    Leftover tmp/old dirs from completed swaps are just deleted."""
+    for e in os.listdir(root):
+        full = os.path.join(root, e)
+        if e.startswith(".compact_old_"):
+            live = os.path.join(root, e[len(".compact_old_") :])
+            if not os.path.exists(live):
+                os.rename(full, live)
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+        elif e.startswith(".compact_tmp_"):
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def compact_lake_table(
+    spark: SparkSession,
+    lake,
+    table: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Compact every partition of ``lake/table`` whose file count exceeds
+    ``ceil(partition_bytes / target_file_bytes)``.  Returns
+    ``{partitions_compacted, files_before, files_after, bytes_total}``.
+    Idempotent: a second call is a no-op."""
+    root = lake.path(table)
+    stats = {
+        "partitions_compacted": 0,
+        "files_before": 0,
+        "files_after": 0,
+        "bytes_total": 0,
+    }
+    if not os.path.isdir(root):
+        return stats
+    _recover_half_swap(root)
+    for part in _partition_dirs(root):
+        pdir = os.path.join(root, part)
+        files = _data_files(pdir)
+        total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        stats["files_before"] += len(files)
+        stats["bytes_total"] += total
+        want = max(1, math.ceil(total / target_file_bytes))
+        if len(files) <= want:
+            stats["files_after"] += len(files)
+            continue
+        # partition-dir read: the partition column lives in the dir name,
+        # not the files, so the rewritten files keep the exact layout
+        df = spark.read.parquet(pdir)
+        n_rows = df.count()
+        tmp = os.path.join(root, f".compact_tmp_{part}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(want).write.mode("overwrite").parquet(tmp)
+        n_after = spark.read.parquet(tmp).count()
+        if n_after != n_rows:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction row-count mismatch in {pdir}: "
+                f"{n_rows} before vs {n_after} after — aborted, original kept"
+            )
+        old = os.path.join(root, f".compact_old_{part}")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old, ignore_errors=True)
+        stats["partitions_compacted"] += 1
+        stats["files_after"] += len(_data_files(pdir))
+    return stats

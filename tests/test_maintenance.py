@@ -1,0 +1,102 @@
+"""Lake small-file compaction (operators/maintenance.py): content identity,
+file-count reduction, idempotency, half-swap recovery."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_entity_extraction_spark.operators.maintenance import (
+    _data_files,
+    compact_lake_table,
+)
+from incremental_entity_extraction_spark.pipeline import Lake
+
+
+@pytest.fixture()
+def fragmented_lake(spark, tmp_path):
+    """A lake table whose partitions were written in many small files —
+    the shape an incremental/streaming writer produces."""
+    lake = Lake(str(tmp_path / "lake"))
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("batch_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    lake.write_partition(df.repartition(16), "rows")
+    return lake
+
+
+def _table_pdf(spark, lake):
+    return (
+        spark.read.parquet(lake.path("rows"))
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+
+def _file_count(lake):
+    root = lake.path("rows")
+    return sum(
+        len(_data_files(os.path.join(root, d)))
+        for d in os.listdir(root)
+        if "=" in d and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, fragmented_lake):
+    before = _table_pdf(spark, fragmented_lake)
+    n_files_before = _file_count(fragmented_lake)
+    assert n_files_before >= 32  # 4 partitions × many small files
+    stats = compact_lake_table(spark, fragmented_lake, "rows")
+    assert stats["partitions_compacted"] == 4
+    assert stats["files_after"] == 4  # tiny partitions -> one file each
+    assert _file_count(fragmented_lake) == 4
+    after = _table_pdf(spark, fragmented_lake)
+    assert before.equals(after)  # identical rows, identical schema
+
+
+def test_compaction_is_idempotent(spark, fragmented_lake):
+    compact_lake_table(spark, fragmented_lake, "rows")
+    stats2 = compact_lake_table(spark, fragmented_lake, "rows")
+    assert stats2["partitions_compacted"] == 0
+    assert stats2["files_before"] == stats2["files_after"] == 4
+
+
+def test_compaction_skips_right_sized_partitions(spark, fragmented_lake):
+    # absurdly small target: every existing file already exceeds it, so the
+    # file count can't be reduced and nothing should be rewritten
+    stats = compact_lake_table(
+        spark, fragmented_lake, "rows", target_file_bytes=1
+    )
+    assert stats["partitions_compacted"] == 0
+
+
+def test_half_swap_recovery(spark, fragmented_lake):
+    """Simulate a crash between the two swap renames: the live partition
+    dir is gone and .compact_old_ holds the data — the next call must
+    restore it before compacting."""
+    root = fragmented_lake.path("rows")
+    part = "batch_id=2"
+    os.rename(
+        os.path.join(root, part), os.path.join(root, f".compact_old_{part}")
+    )
+    stats = compact_lake_table(spark, fragmented_lake, "rows")
+    assert stats["partitions_compacted"] == 4
+    pdf = _table_pdf(spark, fragmented_lake)
+    assert len(pdf) == 4000
+    assert sorted(pdf["batch_id"].unique()) == [0, 1, 2, 3]
+
+
+def test_missing_table_is_noop(spark, tmp_path):
+    lake = Lake(str(tmp_path / "empty_lake"))
+    stats = compact_lake_table(spark, lake, "rows")
+    assert stats == {
+        "partitions_compacted": 0,
+        "files_before": 0,
+        "files_after": 0,
+        "bytes_total": 0,
+    }
