@@ -244,7 +244,12 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     if "--reps" in sys.argv:
-        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+        try:
+            reps = int(sys.argv[sys.argv.index("--reps") + 1])
+        except (IndexError, ValueError):
+            print(
+                f"ignoring malformed --reps (using {reps})", file=sys.stderr
+            )
     reps = max(1, reps)
 
     load0 = _loadavg()

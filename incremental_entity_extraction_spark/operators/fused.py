@@ -52,12 +52,6 @@ FUSED_SCHEMA = T.StructType(
     + [T.StructField("candidates", T.ArrayType(CANDIDATE_STRUCT), False)]
 )
 
-_BASE_COLS = [
-    "mention_id", "conv_id", "turn_idx", "batch_id", "start_tok",
-    "mention", "context_left", "context_right",
-]
-
-
 def _encoding_list_array(enc: np.ndarray) -> pa.ListArray:
     """(n, dim) float32 matrix -> arrow list<float> column, zero per-row work
     (one flat values buffer + arithmetic offsets)."""

@@ -117,3 +117,72 @@ def compact_lake_table(
         stats["partitions_compacted"] += 1
         stats["files_after"] += len(_data_files(pdir))
     return stats
+
+
+def _newest_mtime(pdir: str) -> float:
+    out = os.path.getmtime(pdir)
+    for dirpath, _dirs, files in os.walk(pdir):
+        for f in files:
+            try:
+                out = max(out, os.path.getmtime(os.path.join(dirpath, f)))
+            except OSError:
+                pass
+    return out
+
+
+def vacuum_lake(
+    lake,
+    tables: list[str] | None = None,
+    older_than_seconds: float = 3600.0,
+) -> dict:
+    """Delete partition directories whose batch never completed — the
+    companion to prefix-resume (pipeline.run_incremental): lineage is marked
+    strictly AFTER a batch's writes drain, so any ``batch_id=N`` partition
+    absent from the lineage came from a crashed or abandoned run.  Resume
+    would overwrite such partitions byte-identically when the batch re-runs
+    (dynamic overwrite), but a batch that never re-runs — a shrunken input,
+    a run switched to ``single_batch`` — leaves them to silently pollute
+    direct table reads.  (Iceberg analogue: orphan-file removal /
+    ``remove_orphan_files``.)
+
+    ``older_than_seconds`` (default 1 h) is the same retention guard
+    Iceberg's ``remove_orphan_files`` uses: a RUNNING pipeline's current
+    batch is also "written but not yet in lineage", so partitions touched
+    within the window are never deleted — without it, vacuuming
+    concurrently with a writer would destroy the in-flight batch between
+    its write and its lineage mark.  Pass 0 only when no writer can be
+    active.
+
+    Returns ``{table: [removed batch_ids]}`` — recorded only after the
+    delete actually succeeded (deletion errors propagate rather than being
+    reported as cleaned).  Never touches the lineage, non-partition files,
+    or compaction staging (dot-dirs; ``compact_lake_table`` recovers its
+    own)."""
+    import time
+
+    completed = lake.completed_batches()
+    cutoff = time.time() - older_than_seconds
+    if tables is None:
+        tables = sorted(
+            t
+            for t in os.listdir(lake.root)
+            if os.path.isdir(lake.path(t)) and not t.startswith(".")
+        ) if os.path.isdir(lake.root) else []
+    removed: dict[str, list[int]] = {}
+    for table in tables:
+        root = lake.path(table)
+        if not os.path.isdir(root):
+            continue
+        for part in _partition_dirs(root):
+            key, _, val = part.partition("=")
+            if key != "batch_id":
+                continue
+            try:
+                batch_id = int(val)
+            except ValueError:
+                continue
+            pdir = os.path.join(root, part)
+            if batch_id not in completed and _newest_mtime(pdir) <= cutoff:
+                shutil.rmtree(pdir)
+                removed.setdefault(table, []).append(batch_id)
+    return removed

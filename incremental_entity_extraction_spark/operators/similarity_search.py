@@ -254,6 +254,73 @@ def kmeans_centroids(
     return C
 
 
+# shared by ivf_topk / ivf_pq_topk so the two engines derive IDENTICAL
+# parameters, training samples, and (for the same seed) coarse buckets —
+# the "same seed → same buckets" contract is structural, not copy-paste
+_BUCKETED_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("id", T.LongType(), False),
+        T.StructField("vecn", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def _derive_ivf_params(
+    n: int, n_centroids: int | None, n_probe: int | None
+) -> tuple[int, int]:
+    """≈√n centroids clamped to [4, 4096]; n_probe holds the 25%
+    probed-bucket ratio the ≥0.9 recall tests were measured at (a fixed
+    n_probe would silently collapse recall as √n centroids grow)."""
+    if n_centroids is None:
+        n_centroids = max(4, min(math.isqrt(n), 4096))
+    if n_probe is None:
+        n_probe = max(4, -(-n_centroids // 4))
+    return n_centroids, n_probe
+
+
+def _coarse_sample(cvec: DataFrame, n: int, train_size: int, seed: int) -> np.ndarray:
+    """Deterministic ≤train_size training sample — the only collect."""
+    frac = min(1.0, train_size / n)
+    sample = (
+        cvec.sample(False, frac, seed).select("vec")
+        if frac < 1.0
+        else cvec.select("vec")
+    )
+    return np.stack(
+        [np.asarray(v, dtype=np.float32) for v in sample.toPandas()["vec"]]
+    )
+
+
+def _bucketed_queries(
+    queries: DataFrame, id_col: str, vec_col: str, bc_C, n_probe: int
+) -> DataFrame:
+    """Each query exploded to its n_probe nearest-centroid buckets."""
+
+    def _bq(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cm = bc_C.value
+        npb = min(n_probe, Cm.shape[0])
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Qp = _normalize(
+                np.stack([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
+            )
+            probe = np.argsort(-(Qp @ Cm.T), axis=1)[:, :npb].astype("int32")
+            reps = np.repeat(np.arange(len(Qp)), npb)
+            yield pd.DataFrame(
+                {
+                    "bucket": probe.ravel(),
+                    "id": pdf["id"].to_numpy()[reps],
+                    "vecn": [list(Qp[r]) for r in reps],
+                }
+            )
+
+    return queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(_bq, schema=_BUCKETED_SCHEMA)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -298,20 +365,8 @@ def ivf_topk(
     n = cvec.count()
     if n == 0:
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    if n_centroids is None:
-        n_centroids = max(4, min(math.isqrt(n), 4096))
-    if n_probe is None:
-        # keep the probed-bucket RATIO constant (25%, the ratio the ≥0.9
-        # recall tests were measured at) as n_centroids grows with sqrt(n) —
-        # a fixed n_probe would silently collapse recall at scale.  Scan
-        # cost stays n_probe/n_centroids = 1/4 of the corpus; production
-        # deployments tune this down per-dataset against the recall tests.
-        n_probe = max(4, -(-n_centroids // 4))
-    frac = min(1.0, train_size / n)
-    sample = cvec.sample(False, frac, seed).select("vec") if frac < 1.0 else cvec.select("vec")
-    X = np.stack(
-        [np.asarray(v, dtype=np.float32) for v in sample.toPandas()["vec"]]
-    )
+    n_centroids, n_probe = _derive_ivf_params(n, n_centroids, n_probe)
+    X = _coarse_sample(cvec, n, train_size, seed)
     C = kmeans_centroids(X, n_centroids, seed=seed)
     # hot-bucket estimate from the training sample (free: X is on the driver)
     sample_assign = np.argmax(_normalize(X.astype(np.float32)) @ C.T, axis=1)
@@ -330,14 +385,6 @@ def ivf_topk(
         )
     bc = spark.sparkContext.broadcast(C)
 
-    bucketed_schema = T.StructType(
-        [
-            T.StructField("bucket", T.IntegerType(), False),
-            T.StructField("id", T.LongType(), False),
-            T.StructField("vecn", T.ArrayType(T.FloatType()), False),
-        ]
-    )
-
     def _bucket_corpus(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Cm = bc.value
         for pdf in it:
@@ -351,30 +398,8 @@ def ivf_topk(
                 {"bucket": assign, "id": pdf["id"], "vecn": list(map(list, Xp))}
             )
 
-    corpus_b = cvec.mapInPandas(_bucket_corpus, schema=bucketed_schema)
-
-    def _bucket_queries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Cm = bc.value
-        npb = min(n_probe, Cm.shape[0])
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            Qp = _normalize(
-                np.stack([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
-            )
-            probe = np.argsort(-(Qp @ Cm.T), axis=1)[:, :npb].astype("int32")
-            reps = np.repeat(np.arange(len(Qp)), npb)
-            yield pd.DataFrame(
-                {
-                    "bucket": probe.ravel(),
-                    "id": pdf["id"].to_numpy()[reps],
-                    "vecn": [list(Qp[r]) for r in reps],
-                }
-            )
-
-    queries_b = queries.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).mapInPandas(_bucket_queries, schema=bucketed_schema)
+    corpus_b = cvec.mapInPandas(_bucket_corpus, schema=_BUCKETED_SCHEMA)
+    queries_b = _bucketed_queries(queries, id_col, vec_col, bc, n_probe)
 
     local_schema = T.StructType(
         [
@@ -521,21 +546,12 @@ def ivf_pq_topk(
     n = cvec.count()
     if n == 0:
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    if n_centroids is None:
-        n_centroids = max(4, min(math.isqrt(n), 4096))
-    if n_probe is None:
-        n_probe = max(4, -(-n_centroids // 4))
+    # shared derivation/sampling/k-means with ivf_topk: same seed → same
+    # coarse buckets, by construction
+    n_centroids, n_probe = _derive_ivf_params(n, n_centroids, n_probe)
     if rerank is None:
         rerank = max(4 * k, 32)
-    frac = min(1.0, train_size / n)
-    sample = (
-        cvec.sample(False, frac, seed).select("vec")
-        if frac < 1.0
-        else cvec.select("vec")
-    )
-    X = np.stack(
-        [np.asarray(v, dtype=np.float32) for v in sample.toPandas()["vec"]]
-    )
+    X = _coarse_sample(cvec, n, train_size, seed)
     dim = X.shape[1]
     m = _pq_subdims(dim, m_subvectors)
     C = kmeans_centroids(X, n_centroids, seed=seed)
@@ -543,6 +559,7 @@ def ivf_pq_topk(
     R = Xn - C[np.argmax(Xn @ C.T, axis=1)]
     books = pq_train_codebooks(R, m, seed=seed)
     bc = spark.sparkContext.broadcast((C, books))
+    bc_C = spark.sparkContext.broadcast(C)
 
     coded_schema = T.StructType(
         [
@@ -571,37 +588,7 @@ def ivf_pq_topk(
             )
 
     corpus_c = cvec.mapInPandas(_encode_corpus, schema=coded_schema)
-
-    qb_schema = T.StructType(
-        [
-            T.StructField("bucket", T.IntegerType(), False),
-            T.StructField("id", T.LongType(), False),
-            T.StructField("vecn", T.ArrayType(T.FloatType()), False),
-        ]
-    )
-
-    def _bucket_queries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Cm, _ = bc.value
-        npb = min(n_probe, Cm.shape[0])
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            Qp = _normalize(
-                np.stack([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
-            )
-            probe = np.argsort(-(Qp @ Cm.T), axis=1)[:, :npb].astype("int32")
-            reps = np.repeat(np.arange(len(Qp)), npb)
-            yield pd.DataFrame(
-                {
-                    "bucket": probe.ravel(),
-                    "id": pdf["id"].to_numpy()[reps],
-                    "vecn": [list(Qp[r]) for r in reps],
-                }
-            )
-
-    queries_b = queries.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).mapInPandas(_bucket_queries, schema=qb_schema)
+    queries_b = _bucketed_queries(queries, id_col, vec_col, bc_C, n_probe)
 
     local_schema = T.StructType(
         [

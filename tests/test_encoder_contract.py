@@ -94,17 +94,20 @@ def test_torch_adapter_happy_path_when_deps_present(cfg):
     )
 
     # smallest commonly-cached sentence-transformers model; skip (not fail)
-    # when it can't be resolved — CI boxes without network or a HF cache
-    # still get the construction-path coverage above
+    # ONLY when the model itself can't be resolved/downloaded — the
+    # adapter's encode path runs OUTSIDE the try so a real contract
+    # regression fails instead of skipping
+    model_name = "sentence-transformers/all-MiniLM-L6-v2"
     try:
-        enc = make_torch_encoder(
-            "sentence-transformers/all-MiniLM-L6-v2",
-            dim=384,
-            vector_norm=float(cfg.vector_norm),
-        )
-        out = enc([["acme", "corp"], ["widget"]], [[2.0, 2.0], [2.0]])
-    except Exception as e:  # model download/resolution failure, not contract
+        from sentence_transformers import SentenceTransformer
+
+        SentenceTransformer(model_name, device="cpu")  # resolve + warm cache
+    except Exception as e:  # download/resolution failure, not contract
         pytest.skip(f"model unavailable: {type(e).__name__}: {e}")
+    enc = make_torch_encoder(
+        model_name, dim=384, vector_norm=float(cfg.vector_norm)
+    )
+    out = enc([["acme", "corp"], ["widget"]], [[2.0, 2.0], [2.0]])
     assert out.shape == (2, 384)
     assert out.dtype == np.float32
     norms = np.linalg.norm(np.asarray(out, dtype=np.float64), axis=1)

@@ -100,3 +100,38 @@ def test_missing_table_is_noop(spark, tmp_path):
         "files_after": 0,
         "bytes_total": 0,
     }
+
+
+def test_vacuum_removes_only_uncompleted_partitions(spark, tmp_path):
+    """Partitions from a crashed batch (written, never marked in lineage)
+    are removed; completed partitions and the lineage survive."""
+    from incremental_entity_extraction_spark.operators.maintenance import (
+        vacuum_lake,
+    )
+
+    lake = Lake(str(tmp_path / "lake"))
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("batch_id")
+    )
+    lake.write_partition(df, "rows")
+    # batches 0 and 1 completed; batch 2 "crashed" before mark_complete
+    lake.mark_complete(0, {})
+    lake.mark_complete(1, {})
+    # retention guard: freshly-written partitions are in-flight, untouchable
+    assert vacuum_lake(lake) == {}
+    removed = vacuum_lake(lake, older_than_seconds=0)
+    assert removed == {"rows": [2]}
+    pdf = spark.read.parquet(lake.path("rows")).toPandas()
+    assert sorted(pdf["batch_id"].unique()) == [0, 1]
+    assert len(pdf) == 200
+    assert lake.completed_batches() == {0, 1}
+    # idempotent
+    assert vacuum_lake(lake, older_than_seconds=0) == {}
+
+
+def test_vacuum_on_empty_lake_is_noop(tmp_path):
+    from incremental_entity_extraction_spark.operators.maintenance import (
+        vacuum_lake,
+    )
+
+    assert vacuum_lake(Lake(str(tmp_path / "nothing"))) == {}
