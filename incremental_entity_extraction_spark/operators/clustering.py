@@ -277,6 +277,43 @@ def cluster_summarize_greedy(nil_df: DataFrame, cfg: PipelineConfig) -> DataFram
     ).groupBy("batch_id").applyInPandas(_replay_summarize, schema=CLUSTER_SCHEMA)
 
 
+def min_rank_labels(
+    adj_chunks: list[np.ndarray], rank: np.ndarray, inv: np.ndarray
+) -> np.ndarray:
+    """Connected-component labels (min rank per component) over a boolean
+    adjacency given as row chunks; ``rank`` is any permutation of
+    ``0..n-1`` and ``inv`` its inverse (rank -> node).
+
+    Min-rank propagation with pointer doubling after every adjacency sweep:
+    one sweep moves the min one hop, the doubling pass then collapses label
+    chains (label[i] -> label of its current min-rank node) to fixpoint, so
+    convergence is O(log n) sweeps even on an adversarial chain-shaped
+    component — not O(diameter).  The fixpoint is the same
+    min-rank-per-component labeling either way (fuzzed vs a BFS oracle in
+    tests/test_properties.py)."""
+    n = len(rank)
+    label = rank.copy()
+    for _ in range(n + 1):
+        changed = False
+        pos = 0
+        for A in adj_chunks:
+            m = A.shape[0]
+            cand = np.where(A, label[None, :], n).min(axis=1)
+            new = np.minimum(label[pos : pos + m], cand)
+            if not np.array_equal(new, label[pos : pos + m]):
+                label[pos : pos + m] = new
+                changed = True
+            pos += m
+        while True:  # pointer doubling (a rank is itself a node id via inv)
+            nl = np.minimum(label, label[inv[label]])
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if not changed:
+            break
+    return label
+
+
 def cluster_summarize_cc(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """CC edges + components + summarization fused into ONE
     ``groupBy(batch_id)`` pass — the small-batch fast path for
@@ -318,31 +355,7 @@ def cluster_summarize_cc(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
             adj_chunks.append(A)
         inv = np.empty(n, dtype=np.int64)  # rank -> row index
         inv[rank] = np.arange(n)
-        # min-rank propagation with pointer doubling after every adjacency
-        # sweep: one sweep moves the min one hop, the doubling pass then
-        # collapses label chains (label[i] -> label of its current min-rank
-        # node) to fixpoint, so convergence is O(log n) sweeps even on an
-        # adversarial chain-shaped component — not O(diameter).  The fixpoint
-        # is the same min-rank-per-component labeling either way.
-        label = rank.copy()
-        for _ in range(n + 1):
-            changed = False
-            pos = 0
-            for A in adj_chunks:
-                m = A.shape[0]
-                cand = np.where(A, label[None, :], n).min(axis=1)
-                new = np.minimum(label[pos : pos + m], cand)
-                if not np.array_equal(new, label[pos : pos + m]):
-                    label[pos : pos + m] = new
-                    changed = True
-                pos += m
-            while True:  # pointer doubling (a rank is itself a node id via inv)
-                nl = np.minimum(label, label[inv[label]])
-                if np.array_equal(nl, label):
-                    break
-                label = nl
-            if not changed:
-                break
+        label = min_rank_labels(adj_chunks, rank, inv)
         rows = []
         batch_id = int(pdf["batch_id"].iloc[0])
         for root_rank in pd.unique(label):

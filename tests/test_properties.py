@@ -165,3 +165,113 @@ def test_fused_kernel_bit_identical_fuzz(texts, max_tok):
     ] == rows
     E_ref = encode_token_lists(windows, cfg.dim, cfg.vector_norm, weights)
     assert np.array_equal(E_ref, E_got)
+
+
+# ---------------------------------------------------------------------------
+# round-4 kernels: min-rank CC (pointer doubling) and columnar top-k
+# ---------------------------------------------------------------------------
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)), max_size=80
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=80, deadline=None)
+def test_min_rank_labels_match_bfs_oracle(n, edges, rnd):
+    """cluster_summarize_cc's vectorized component search == BFS per
+    component, for any graph (incl. chains, the old worst case) and any
+    rank permutation, at several chunk sizes."""
+    from incremental_entity_extraction_spark.operators.clustering import (
+        min_rank_labels,
+    )
+
+    A = np.zeros((n, n), dtype=bool)
+    for a, b in edges:
+        if a < n and b < n and a != b:
+            A[a, b] = A[b, a] = True
+    perm = list(range(n))
+    rnd.shuffle(perm)
+    rank = np.asarray(perm, dtype=np.int64)
+    inv = np.empty(n, dtype=np.int64)
+    inv[rank] = np.arange(n)
+
+    # BFS oracle: min rank over each connected component
+    expected = np.empty(n, dtype=np.int64)
+    seen = np.zeros(n, dtype=bool)
+    for s in range(n):
+        if seen[s]:
+            continue
+        comp, stack = [], [s]
+        seen[s] = True
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in np.flatnonzero(A[u]):
+                if not seen[v]:
+                    seen[v] = True
+                    stack.append(int(v))
+        mr = rank[comp].min()
+        expected[comp] = mr
+
+    for chunk in (1, 3, n):
+        chunks = [A[i : i + chunk] for i in range(0, n, chunk)]
+        got = min_rank_labels(chunks, rank, inv)
+        np.testing.assert_array_equal(got, expected)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),   # mentions
+    st.integers(min_value=0, max_value=30),   # entities
+    st.integers(min_value=1, max_value=12),   # k
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=60, deadline=None)
+def test_columnar_topk_matches_brute_force(n_m, n_e, k, seed):
+    """topk_candidates_columnar == brute-force lexsort over ALL entities
+    (score desc, indexer asc, id asc), flat layout intact."""
+    import pandas as pd
+
+    from incremental_entity_extraction_spark.operators.retrieval import (
+        KBShard,
+        topk_candidates_columnar,
+    )
+
+    rng = np.random.default_rng(seed)
+    dim = 8
+    enc = rng.standard_normal((n_m, dim)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "id": rng.integers(0, 50, size=n_e),
+            "indexer": rng.integers(0, 3, size=n_e).astype(np.int32),
+            "wikipedia_id": rng.integers(-1, 100, size=n_e),
+            "title": [f"t{j}" for j in range(n_e)],
+            "embedding": [
+                rng.standard_normal(dim).astype(np.float32) for _ in range(n_e)
+            ],
+        }
+    )
+    shards = [KBShard(pdf)] if n_e else []
+    counts, ids, idxr, wids, titles, sc = topk_candidates_columnar(
+        enc, shards, k, 100.0
+    )
+    assert counts.sum() == len(ids) == len(sc)
+    if n_e == 0:
+        assert counts.sum() == 0
+        return
+    E = np.stack([np.asarray(v) for v in pdf["embedding"]])
+    S = enc @ E.T
+    pos = 0
+    for r in range(n_m):
+        order = np.lexsort(
+            (pdf["id"].to_numpy(), pdf["indexer"].to_numpy(), -S[r])
+        )[: min(k, n_e)]
+        got = list(zip(ids[pos : pos + counts[r]], idxr[pos : pos + counts[r]]))
+        exp = [
+            (int(pdf["id"].iloc[j]), int(pdf["indexer"].iloc[j])) for j in order
+        ]
+        assert got == exp, f"row {r}"
+        np.testing.assert_allclose(
+            sc[pos : pos + counts[r]], S[r][order], rtol=1e-6
+        )
+        pos += counts[r]
