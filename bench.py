@@ -258,18 +258,19 @@ def main() -> None:
     # headline, the per-sample list is the evidence
     samples = []
     n_turns = n_triples = 0
-    for _ in range(reps):
-        s = {"host_load_start": _loadavg()}
-        wall_cc, n_turns, n_triples = run_documents_pipeline(
-            CPUS, SF_DIR, cluster_mode="cc"
-        )
-        s["cc_wall_s"] = round(wall_cc, 3)
-        # the reference-exact engine, same input — kept beside the scale
-        # engine so both modes have round-over-round evidence
-        wall_g, _, _ = run_documents_pipeline(
-            CPUS, SF_DIR, cluster_mode="greedy_replay"
-        )
-        s["greedy_wall_s"] = round(wall_g, 3)
+    for i in range(reps):
+        # alternate engine order per rep: whichever runs first pays the cold
+        # OS page cache for the parquet world, so a fixed order would bias
+        # the comparison (r3 ran greedy first, this round's first draft ran
+        # cc first — the apparent engine flip between them was this bias)
+        order = ("cc", "greedy_replay") if i % 2 else ("greedy_replay", "cc")
+        s = {"host_load_start": _loadavg(), "order": list(order)}
+        for mode in order:
+            wall, n_turns, n_triples = run_documents_pipeline(
+                CPUS, SF_DIR, cluster_mode=mode
+            )
+            key = "cc_wall_s" if mode == "cc" else "greedy_wall_s"
+            s[key] = round(wall, 3)
         samples.append(s)
 
     def _median(xs: list[float]) -> float:
