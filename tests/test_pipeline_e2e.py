@@ -102,3 +102,38 @@ def test_resume_and_idempotent_rerun(spark, spark_world, cfg, tmp_lake):
     assert [s["batch_id"] for s in stats2] == [3]
     rerun = _triple_set(spark.read.parquet(tmp_lake.path("triples")).toPandas())
     assert rerun == resumed
+
+
+@pytest.mark.parametrize("mode", ["greedy_replay", "cc"])
+def test_partition_invariance(spark, spark_world, cfg, tmp_path, mode):
+    """The 100-TB determinism claim: the SAME triples regardless of task
+    parallelism.  Runs the pipeline with partitions=2 and partitions=13
+    (prime, > default-parallelism slices of this fixture) and asserts
+    byte-identical triple sets AND identical new-entity id assignment —
+    nothing may depend on task scheduling or partition boundaries."""
+    from incremental_entity_extraction_spark.pipeline import Lake
+
+    outs, ents = [], []
+    for parts in (2, 13):
+        lk = Lake(str(tmp_path / f"lake_{mode}_{parts}"))
+        run_incremental(
+            spark,
+            spark_world["transcripts"],
+            spark_world["entities_kb"],
+            lk,
+            cfg,
+            cluster_mode=mode,
+            partitions=parts,
+        )
+        outs.append(
+            _triple_set(spark.read.parquet(lk.path("triples")).toPandas())
+        )
+        ents.append(
+            spark.read.parquet(lk.path("new_entities"))
+            .select("id", "title", "batch_id")
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+    assert outs[0] == outs[1]
+    pd.testing.assert_frame_equal(ents[0], ents[1])

@@ -168,3 +168,33 @@ def test_parquet_filter_pushdown(spark, tmp_path):
     plan = plan_of(df)
     assert "PushedFilters: [IsNotNull(a), GreaterThan(a,50)]" in plan
     assert "ReadSchema" in plan and "b:" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_ivf_pq_plan_is_bucket_parallel(spark, spark_world):
+    """The PQ engine's plan must have the same shape as ivf_topk's: Arrow
+    Python stages + cogroup on bucket + window top-k — no Cartesian
+    product, no nested-loop join, no row-at-a-time Python; the exact
+    re-rank joins the (broadcast) shortlist, never the corpus crossed with
+    queries."""
+    import pandas as pd
+
+    from incremental_entity_extraction_spark.operators.similarity_search import (
+        ivf_pq_topk,
+    )
+
+    rng = __import__("numpy").random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(300),
+            "embedding": [
+                [float(x) for x in rng.normal(size=16)] for _ in range(300)
+            ],
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    q = corpus.filter(F.col("vec_id") < 20)
+    df = ivf_pq_topk(q, corpus, k=5, n_centroids=8, n_probe=4, m_subvectors=4)
+    plan = plan_of(df)
+    _assert_clean(plan, allow_single_partition=False, label="ivf_pq")
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+    assert "BroadcastHashJoin" in plan  # shortlist re-rank join, broadcast
