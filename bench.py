@@ -4,8 +4,11 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Headline metric: turns/sec of the incremental KG pipeline (mention detect →
 encode → dense top-k → NIL → cluster → KB append → triples) over transcripts
 derived from the documents table — the engine's north-star workload.
-``value`` is the MEDIAN of ``--reps`` full-pipeline samples (default 3) in
-cluster_mode='cc' — the scale-path engine, which is also the fastest;
+``value`` is the MEDIAN of ``--reps`` full-pipeline samples (default 4 —
+EVEN, so the alternating engine order puts each engine in the cold first
+position equally often; an odd count would hand the second-position warm
+cache to one engine in the majority of reps) in cluster_mode='cc' — the
+scale-path engine, which is also the fastest;
 ``greedy_turns_per_sec`` reports the reference-exact engine beside it for
 round-over-round comparability.  Every sample records /proc/loadavg so a
 reviewer can separate engine changes from co-tenant noise (single-sample
@@ -242,7 +245,7 @@ def main() -> None:
     from incremental_entity_extraction_spark.entry_queries import QUERIES
     from incremental_entity_extraction_spark.session import get_spark
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
     if "--reps" in sys.argv:
         try:
             reps = int(sys.argv[sys.argv.index("--reps") + 1])

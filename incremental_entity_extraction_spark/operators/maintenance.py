@@ -65,16 +65,42 @@ def _recover_half_swap(root: str) -> None:
             shutil.rmtree(full, ignore_errors=True)
 
 
+def _newest_mtime(pdir: str) -> float:
+    """Newest mtime under a partition dir; +inf when the dir vanishes
+    mid-walk (a concurrent swap/delete) — 'infinitely fresh' makes every
+    retention window skip it, the conservative direction."""
+    try:
+        out = os.path.getmtime(pdir)
+    except OSError:
+        return float("inf")
+    for dirpath, _dirs, files in os.walk(pdir):
+        for f in files:
+            try:
+                out = max(out, os.path.getmtime(os.path.join(dirpath, f)))
+            except OSError:
+                pass
+    return out
+
+
 def compact_lake_table(
     spark: SparkSession,
     lake,
     table: str,
     target_file_bytes: int = 128 << 20,
+    older_than_seconds: float = 3600.0,
 ) -> dict:
     """Compact every partition of ``lake/table`` whose file count exceeds
     ``ceil(partition_bytes / target_file_bytes)``.  Returns
     ``{partitions_compacted, files_before, files_after, bytes_total}``.
-    Idempotent: a second call is a no-op."""
+    Idempotent: a second call is a no-op.
+
+    ``older_than_seconds`` (default 1 h) skips partitions written within
+    the window — the same in-flight guard as ``vacuum_lake``: compacting a
+    partition a resumed writer is concurrently overwriting could swap the
+    PRE-overwrite rewrite in after the writer's commit.  Pass 0 only when
+    no writer can be active."""
+    import time
+
     root = lake.path(table)
     stats = {
         "partitions_compacted": 0,
@@ -85,6 +111,7 @@ def compact_lake_table(
     if not os.path.isdir(root):
         return stats
     _recover_half_swap(root)
+    cutoff = time.time() - older_than_seconds
     for part in _partition_dirs(root):
         pdir = os.path.join(root, part)
         files = _data_files(pdir)
@@ -92,7 +119,7 @@ def compact_lake_table(
         stats["files_before"] += len(files)
         stats["bytes_total"] += total
         want = max(1, math.ceil(total / target_file_bytes))
-        if len(files) <= want:
+        if len(files) <= want or _newest_mtime(pdir) > cutoff:
             stats["files_after"] += len(files)
             continue
         # partition-dir read: the partition column lives in the dir name,
@@ -117,17 +144,6 @@ def compact_lake_table(
         stats["partitions_compacted"] += 1
         stats["files_after"] += len(_data_files(pdir))
     return stats
-
-
-def _newest_mtime(pdir: str) -> float:
-    out = os.path.getmtime(pdir)
-    for dirpath, _dirs, files in os.walk(pdir):
-        for f in files:
-            try:
-                out = max(out, os.path.getmtime(os.path.join(dirpath, f)))
-            except OSError:
-                pass
-    return out
 
 
 def vacuum_lake(
@@ -160,13 +176,20 @@ def vacuum_lake(
     own)."""
     import time
 
+    if not os.path.exists(lake.lineage_path()):
+        # no lineage == nothing can be judged orphaned.  Without this guard
+        # a lake copied/mounted WITHOUT its lineage.jsonl would read as
+        # "no batch ever completed" and vacuum would destroy every
+        # partition older than the window (Iceberg's remove_orphan_files
+        # likewise refuses when table metadata is missing).
+        return {}
     completed = lake.completed_batches()
     cutoff = time.time() - older_than_seconds
     if tables is None:
         tables = sorted(
             t
             for t in os.listdir(lake.root)
-            if os.path.isdir(lake.path(t)) and not t.startswith(".")
+            if os.path.isdir(lake.path(t)) and not t.startswith((".", "_"))
         ) if os.path.isdir(lake.root) else []
     removed: dict[str, list[int]] = {}
     for table in tables:

@@ -558,8 +558,10 @@ def ivf_pq_topk(
     Xn = _normalize(X)
     R = Xn - C[np.argmax(Xn @ C.T, axis=1)]
     books = pq_train_codebooks(R, m, seed=seed)
-    bc = spark.sparkContext.broadcast((C, books))
+    # C ships ONCE: the query-bucketing helper and the corpus encoder share
+    # bc_C; only the codebooks ride their own broadcast
     bc_C = spark.sparkContext.broadcast(C)
+    bc_books = spark.sparkContext.broadcast(books)
 
     coded_schema = T.StructType(
         [
@@ -570,7 +572,7 @@ def ivf_pq_topk(
     )
 
     def _encode_corpus(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Cm, bk = bc.value
+        Cm, bk = bc_C.value, bc_books.value
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -604,7 +606,7 @@ def ivf_pq_topk(
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "pq_score": []}
             )
-        Cm, bk = bc.value
+        Cm, bk = bc_C.value, bc_books.value
         mM, _, dsub = bk.shape
         b = int(cdf["bucket"].iloc[0])
         codes = np.frombuffer(

@@ -11,8 +11,10 @@ protects an in-flight batch, but maintenance is cheapest on a quiet lake):
         [--tables triples mentions] \
         [--target-file-mb 128] [--older-than-hours 1]
 
-With neither --compact nor --vacuum, both run (compact first — vacuum
-then also sweeps any batch partitions a crashed run left behind).
+With neither --compact nor --vacuum, both run — VACUUM FIRST: compacting
+an orphan partition would reset its mtimes and hide it from the same
+run's retention window (besides wasting a rewrite of data about to be
+deleted).
 """
 
 from __future__ import annotations
@@ -44,8 +46,8 @@ def main() -> None:
     p.add_argument("--target-file-mb", type=int, default=128)
     p.add_argument(
         "--older-than-hours", type=float, default=1.0,
-        help="vacuum retention window — partitions touched more recently "
-        "are treated as in-flight and kept",
+        help="retention window for BOTH actions — partitions touched more "
+        "recently are treated as in-flight and left alone",
     )
     args = p.parse_args()
     do_compact = args.compact or not (args.compact or args.vacuum)
@@ -67,20 +69,22 @@ def main() -> None:
             if os.path.isdir(lake.path(t)) and not t.startswith((".", "_"))
         )
     report: dict = {"lake": args.lake, "tables": tables}
+    window_s = args.older_than_hours * 3600.0
+    if do_vacuum:
+        # pure filesystem pass, no Spark session — and it must run BEFORE
+        # compaction (see module docstring)
+        report["vacuum"] = vacuum_lake(lake, tables, older_than_seconds=window_s)
     if do_compact:
         spark = get_spark(app_name="lake-maintenance")
         report["compact"] = {
             t: compact_lake_table(
-                spark, lake, t, target_file_bytes=args.target_file_mb << 20
+                spark, lake, t,
+                target_file_bytes=args.target_file_mb << 20,
+                older_than_seconds=window_s,
             )
             for t in tables
         }
         spark.stop()
-    if do_vacuum:
-        # pure filesystem pass — no Spark session needed
-        report["vacuum"] = vacuum_lake(
-            lake, tables, older_than_seconds=args.older_than_hours * 3600.0
-        )
     print(json.dumps(report))
 
 

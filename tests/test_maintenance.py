@@ -51,7 +51,13 @@ def test_compaction_preserves_rows_and_reduces_files(spark, fragmented_lake):
     before = _table_pdf(spark, fragmented_lake)
     n_files_before = _file_count(fragmented_lake)
     assert n_files_before >= 32  # 4 partitions × many small files
-    stats = compact_lake_table(spark, fragmented_lake, "rows")
+    # fresh partitions are in-flight: the default retention window skips them
+    assert compact_lake_table(spark, fragmented_lake, "rows")[
+        "partitions_compacted"
+    ] == 0
+    stats = compact_lake_table(
+        spark, fragmented_lake, "rows", older_than_seconds=0
+    )
     assert stats["partitions_compacted"] == 4
     assert stats["files_after"] == 4  # tiny partitions -> one file each
     assert _file_count(fragmented_lake) == 4
@@ -60,8 +66,10 @@ def test_compaction_preserves_rows_and_reduces_files(spark, fragmented_lake):
 
 
 def test_compaction_is_idempotent(spark, fragmented_lake):
-    compact_lake_table(spark, fragmented_lake, "rows")
-    stats2 = compact_lake_table(spark, fragmented_lake, "rows")
+    compact_lake_table(spark, fragmented_lake, "rows", older_than_seconds=0)
+    stats2 = compact_lake_table(
+        spark, fragmented_lake, "rows", older_than_seconds=0
+    )
     assert stats2["partitions_compacted"] == 0
     assert stats2["files_before"] == stats2["files_after"] == 4
 
@@ -70,7 +78,8 @@ def test_compaction_skips_right_sized_partitions(spark, fragmented_lake):
     # absurdly small target: every existing file already exceeds it, so the
     # file count can't be reduced and nothing should be rewritten
     stats = compact_lake_table(
-        spark, fragmented_lake, "rows", target_file_bytes=1
+        spark, fragmented_lake, "rows", target_file_bytes=1,
+        older_than_seconds=0,
     )
     assert stats["partitions_compacted"] == 0
 
@@ -84,7 +93,13 @@ def test_half_swap_recovery(spark, fragmented_lake):
     os.rename(
         os.path.join(root, part), os.path.join(root, f".compact_old_{part}")
     )
-    stats = compact_lake_table(spark, fragmented_lake, "rows")
+    # fresh partitions are in-flight: the default retention window skips them
+    assert compact_lake_table(spark, fragmented_lake, "rows")[
+        "partitions_compacted"
+    ] == 0
+    stats = compact_lake_table(
+        spark, fragmented_lake, "rows", older_than_seconds=0
+    )
     assert stats["partitions_compacted"] == 4
     pdf = _table_pdf(spark, fragmented_lake)
     assert len(pdf) == 4000
@@ -135,3 +150,15 @@ def test_vacuum_on_empty_lake_is_noop(tmp_path):
     )
 
     assert vacuum_lake(Lake(str(tmp_path / "nothing"))) == {}
+
+
+def test_vacuum_refuses_without_lineage(spark, fragmented_lake, tmp_path):
+    """A lake with data but NO lineage file (copied/mounted without it)
+    must not be interpreted as 'nothing ever completed' — vacuum does
+    nothing rather than destroy every partition."""
+    from incremental_entity_extraction_spark.operators.maintenance import (
+        vacuum_lake,
+    )
+
+    assert vacuum_lake(fragmented_lake, older_than_seconds=0) == {}
+    assert len(_table_pdf(spark, fragmented_lake)) == 4000
