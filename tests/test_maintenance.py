@@ -162,3 +162,41 @@ def test_vacuum_refuses_without_lineage(spark, fragmented_lake, tmp_path):
 
     assert vacuum_lake(fragmented_lake, older_than_seconds=0) == {}
     assert len(_table_pdf(spark, fragmented_lake)) == 4000
+
+
+def test_compaction_between_runs_preserves_resume(spark, spark_world, tmp_path):
+    """Maintenance between incremental runs must be invisible to the
+    pipeline: compact every table after a partial run, then resume — the
+    final triples must equal an uninterrupted run's."""
+    from pyspark.sql import functions as F
+
+    from incremental_entity_extraction_spark.config import DEFAULT_CONFIG as cfg
+    from incremental_entity_extraction_spark.operators.maintenance import (
+        compact_lake_table,
+    )
+    from incremental_entity_extraction_spark.pipeline import run_incremental
+
+    def _triples(lake):
+        pdf = spark.read.parquet(lake.path("triples")).toPandas()
+        return set(map(tuple, pdf[["subj", "pred", "obj"]].itertuples(index=False)))
+
+    full = Lake(str(tmp_path / "full"))
+    run_incremental(
+        spark, spark_world["transcripts"], spark_world["entities_kb"], full,
+        cfg, cluster_mode="cc",
+    )
+
+    part = Lake(str(tmp_path / "part"))
+    run_incremental(
+        spark,
+        spark_world["transcripts"].filter(F.col("batch_id") <= 1),
+        spark_world["entities_kb"], part, cfg, cluster_mode="cc",
+    )
+    for t in ("mentions", "triples", "new_entities", "prev_clusters"):
+        compact_lake_table(spark, part, t, older_than_seconds=0)
+    stats = run_incremental(
+        spark, spark_world["transcripts"], spark_world["entities_kb"], part,
+        cfg, cluster_mode="cc",
+    )
+    assert [s["batch_id"] for s in stats] == [2, 3]
+    assert _triples(part) == _triples(full)
