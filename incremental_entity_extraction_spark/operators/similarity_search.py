@@ -7,6 +7,9 @@
 * ``ivf_topk``              — IVF-style ANN: seeded k-means centroids (driver,
   deterministic), corpus bucketed by nearest centroid, queries probe the
   ``n_probe`` nearest centroid buckets only.
+* ``ivf_pq_topk``           — IVF + residual product quantization (+ exact
+  re-rank): ~8 bytes per corpus vector instead of dim×4 — the
+  index-compression path when raw vectors dwarf cluster memory.
 """
 
 from __future__ import annotations
