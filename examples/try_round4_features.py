@@ -62,8 +62,12 @@ def main() -> None:
     lake.write_partition(rows.repartition(10), "rows")  # fragmented write
     lake.mark_complete(0, {})
     lake.mark_complete(1, {})  # batch 2 "crashed" before its lineage mark
-    print("compact:", compact_lake_table(spark, lake, "rows"))
+    # vacuum BEFORE compact (run_maintenance.py's documented ordering), and
+    # older_than_seconds=0 on BOTH — safe here: no concurrent writer, and
+    # the default 1 h in-flight window would skip the partitions this demo
+    # wrote moments ago
     print("vacuum :", vacuum_lake(lake, older_than_seconds=0))
+    print("compact:", compact_lake_table(spark, lake, "rows", older_than_seconds=0))
     left = spark.read.parquet(lake.path("rows"))
     print(f"after maintenance: {left.count()} rows in batches "
           f"{sorted(r['batch_id'] for r in left.select('batch_id').distinct().collect())}")

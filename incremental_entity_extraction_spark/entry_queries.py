@@ -1778,6 +1778,86 @@ def q49_ivf_pq_recall(spark, sf_dir):
     )
 
 
+def q50_ann_index(spark, sf_dir):
+    """Build-once persisted ANN index + FAISS-style delta add + pruned
+    search (rows-only; k-means bucketing is not SQL-expressible).
+
+    The round-5 scale surface (operators/ann_index.py): the first call
+    trains coarse centroids + PQ codebooks and writes the bucketed/coded
+    corpus as a partitioned lake table; later calls LOAD it (zero
+    retraining — the FAISS serialize/load/add lifecycle,
+    faiss_indexer.py:34-43, indexer/main.py:178-214).  A 5-vector delta is
+    assigned under the frozen model and searched through ``extra_rows``
+    exactly as the incremental pipeline threads its in-flight RW delta."""
+    import os
+
+    import numpy as np
+
+    from incremental_entity_extraction_spark.operators.ann_index import (
+        BASE_BATCH,
+        ann_index_search,
+        assign_delta,
+        ensure_ann_index,
+    )
+    from incremental_entity_extraction_spark.operators.similarity_search import (
+        cosine_topk_broadcast,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx_root = _fixture_dir("annidx", sf_dir, lambda d: None)
+    model = ensure_ann_index(
+        e, os.path.join(idx_root, "idx"), mode="ivf_pq",
+        n_centroids=16, n_probe=12,
+    )
+
+    q = e.filter(F.col("vec_id") < 100)
+    exact = cosine_topk_broadcast(q, e, k=10).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    ann = ann_index_search(
+        model, spark, q, k=10, rerank=128, rerank_corpus=e,
+        exclude_self=True,
+    ).select(F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid"))
+    hits = exact.join(ann, ["qid", "nid"], "left_semi")
+
+    # frozen-model delta add: 5 deterministic new vectors, searched via the
+    # in-flight extra_rows path; each must come back as its own top-1
+    base = np.stack(
+        [np.asarray(v, np.float32) for v in
+         e.filter(F.col("vec_id") < 5).orderBy("vec_id").toPandas()["embedding"]]
+    )
+    rng = np.random.default_rng(50)
+    delta_vecs = base + 0.05 * rng.normal(size=base.shape).astype(np.float32)
+    delta_ids = np.arange(10_000_000, 10_000_005, dtype=np.int64)
+    delta = assign_delta(model, delta_ids, delta_vecs, added_batch=0)
+    dq = spark.createDataFrame(
+        [(int(delta_ids[i]), [float(x) for x in delta_vecs[i]])
+         for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    dtop = ann_index_search(
+        model, spark, dq, k=1, rerank=16,
+        rerank_corpus=dq.unionByName(e.select("vec_id", "embedding")),
+        extra_rows=delta, allowed_batches=[BASE_BATCH],
+    ).filter(F.col("rank") == 1)
+    n_delta_self = (
+        dtop.filter(F.col("query_id") == F.col("neighbor_id")).count()
+    )
+
+    return (
+        exact.groupBy()
+        .agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.groupBy().agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall_at_10"),
+            F.lit(int(model.centroids.shape[0])).alias("n_centroids"),
+            F.lit(n_delta_self).alias("n_delta_self_top1"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1831,6 +1911,7 @@ QUERIES = {
     "q47_dedup_groups_cc": q47_dedup_groups_cc,
     "q48_dedup_groups_cc_star": q48_dedup_groups_cc_star,
     "q49_ivf_pq_recall": q49_ivf_pq_recall,
+    "q50_ann_index": q50_ann_index,
 }
 
 ORACLE_SQL = {

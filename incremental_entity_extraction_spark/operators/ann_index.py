@@ -1,0 +1,563 @@
+"""S6 at ANN scale — a build-once, incrementally-added IVF(-PQ) index
+persisted as a lake table.
+
+Reference semantics: the FAISS index is trained and built ONCE, serialized
+to disk, loaded at service start, and new cluster centers are incrementally
+ADDED to it (pipeline/biencoder/blink/indexer/faiss_indexer.py:34-43
+serialize/load; pipeline/indexer/main.py:178-214 add, 216-251 dump) — the
+index is never retrained per batch.  The previous ivf retrieval path
+(retrieval_ann → similarity_search.ivf_topk) re-counted, re-sampled,
+re-trained k-means, and re-bucketed the ENTIRE KB every batch, all of it
+byte-identical each time by the deterministic-seed contract: per-batch
+O(|KB|) work for O(1) information.  This module is the fix:
+
+* ``build_ann_index``   — train coarse centroids (+ PQ codebooks) once on a
+  deterministic sample, bucket/encode the corpus once, persist rows as a
+  parquet lake table dir-partitioned by ``(added_batch, bucket)`` plus a
+  tiny ``model.npz`` (centroids/codebooks/params) — the serialize half of
+  S6.
+* ``load_ann_index`` / ``ensure_ann_index`` — the deserialize half; a
+  params/corpus-fingerprint match reuses the persisted index (resume pays
+  zero retraining), a mismatch rebuilds.
+* ``assign_delta``      — FAISS ``add`` semantics: new vectors are assigned
+  with FROZEN centroids/codebooks (driver-side NumPy; deltas are cluster
+  centers, tiny by construction) and appended as their own
+  ``added_batch=N`` partition — idempotent under dynamic partition
+  overwrite, so a crashed batch re-run replaces exactly its own rows.
+* ``ann_index_search``  — per-batch retrieval against the persisted rows:
+  queries are bucketed DRIVER-side (one collect of the batch's encodings,
+  the same driver budget as ``cosine_topk_scan``), the rows table is
+  scanned with ``bucket IN (probed)`` partition pruning, and each scan
+  partition scores only the queries probing its buckets — one matmul (ivf)
+  or ADC LUT gathers (pq) per bucket block, local top-k EMITTED
+  TIE-INCLUSIVELY so the global window merge is partitioning-invariant,
+  never a corpus-sized shuffle or broadcast.
+
+Per-batch cost drops from O(|KB| scan + shuffle + k-means) to
+O(probed index bytes + |delta|); the index table itself is the unit the
+lake maintenance (compaction/vacuum) and a 1000-executor scan both want.
+
+The partition column is ``added_batch`` (NOT ``batch_id``) on purpose:
+``maintenance.vacuum_lake`` reclaims ``batch_id=`` partitions absent from
+the lineage, and the index base (``added_batch=-1``) must never be judged
+an orphan.  Delta partitions are keyed by the batch that produced them and
+are rewritten byte-identically when a batch re-runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incremental_entity_extraction_spark.operators.similarity_search import (
+    _TOPK_SCHEMA,
+    _coarse_sample,
+    _derive_ivf_params,
+    _normalize,
+    _pq_subdims,
+    kmeans_centroids,
+    pq_encode,
+    pq_train_codebooks,
+)
+
+BASE_BATCH = -1          # added_batch value of the build-time corpus rows
+_MODEL_FILE = "model.npz"
+_ROWS_DIR = "rows"
+
+_ROWS_SCHEMA_IVF = T.StructType(
+    [
+        T.StructField("added_batch", T.IntegerType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("id", T.LongType(), False),
+        T.StructField("vecn", T.ArrayType(T.FloatType()), False),
+    ]
+)
+_ROWS_SCHEMA_PQ = T.StructType(
+    [
+        T.StructField("added_batch", T.IntegerType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("id", T.LongType(), False),
+        T.StructField("code", T.BinaryType(), False),
+    ]
+)
+
+
+@dataclass
+class AnnIndexModel:
+    """Driver-side handle: the tiny trained model + where the rows live.
+
+    ``centroids`` is (n_centroids, dim) float32 with unit rows; ``books``
+    is the (m, J, dim//m) residual PQ codebook stack for mode='ivf_pq',
+    else None.  Everything corpus-sized stays in the rows table."""
+
+    path: str
+    mode: str                  # "ivf" | "ivf_pq"
+    centroids: np.ndarray
+    books: np.ndarray | None
+    n_probe: int
+    seed: int
+    n_corpus: int              # build-time corpus rows (cache-validation key)
+
+    @property
+    def rows_path(self) -> str:
+        return os.path.join(self.path, _ROWS_DIR)
+
+    @property
+    def dim(self) -> int:
+        return int(self.centroids.shape[1])
+
+
+def _save_model(m: AnnIndexModel) -> None:
+    """Atomic single-file model dump (write temp + rename) — the
+    faiss_indexer.py:34-43 serialize analogue."""
+    os.makedirs(m.path, exist_ok=True)
+    tmp = os.path.join(m.path, f".{_MODEL_FILE}.tmp")
+    meta = {
+        "mode": m.mode,
+        "n_probe": int(m.n_probe),
+        "seed": int(m.seed),
+        "n_corpus": int(m.n_corpus),
+    }
+    with open(tmp, "wb") as f:
+        np.savez(
+            f,
+            centroids=m.centroids,
+            books=m.books if m.books is not None else np.empty(0, np.float32),
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        )
+    os.replace(tmp, os.path.join(m.path, _MODEL_FILE))
+
+
+def load_ann_index(path: str) -> AnnIndexModel | None:
+    """Deserialize a persisted index model; None when absent/unreadable."""
+    p = os.path.join(path, _MODEL_FILE)
+    if not os.path.exists(p):
+        return None
+    try:
+        with np.load(p) as z:
+            meta = json.loads(bytes(z["meta"].tobytes()).decode())
+            books = z["books"]
+            return AnnIndexModel(
+                path=path,
+                mode=meta["mode"],
+                centroids=z["centroids"],
+                books=books if books.size else None,
+                n_probe=int(meta["n_probe"]),
+                seed=int(meta["seed"]),
+                n_corpus=int(meta["n_corpus"]),
+            )
+    except Exception:
+        return None
+
+
+def _assign_pdf(
+    model: AnnIndexModel, ids: np.ndarray, vecs: np.ndarray, added_batch: int
+) -> pd.DataFrame:
+    """Frozen-model assignment of a small (driver-side) vector block ->
+    index-row frame.  Vectorized NumPy; used for deltas only."""
+    Xn = _normalize(vecs.astype(np.float32))
+    assign = np.argmax(Xn @ model.centroids.T, axis=1).astype("int32")
+    out = {
+        "added_batch": np.full(len(ids), added_batch, dtype="int32"),
+        "bucket": assign,
+        "id": ids.astype(np.int64),
+    }
+    if model.mode == "ivf_pq":
+        codes = pq_encode(Xn - model.centroids[assign], model.books)
+        out["code"] = [c.tobytes() for c in codes]
+    else:
+        out["vecn"] = list(map(list, Xn))
+    return pd.DataFrame(out)
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    mode: str = "ivf",
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
+    m_subvectors: int | None = None,
+    seed: int = 11,
+    train_size: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> AnnIndexModel:
+    """Train once, bucket/encode the corpus once, persist rows + model.
+
+    The ONLY collects are the corpus count and the ≤``train_size`` training
+    sample (same budget as ``ivf_topk``); the corpus itself is bucketed via
+    one vectorized ``mapInPandas`` pass and written shuffled-by-bucket so
+    each bucket dir holds one file-set.  Same parameter derivation, seeding
+    and k-means as the per-call engines (``_derive_ivf_params`` /
+    ``kmeans_centroids`` are shared code), so a prebuilt index returns the
+    same buckets as ``ivf_topk`` at the same seed."""
+    if mode not in ("ivf", "ivf_pq"):
+        raise ValueError(f"unknown ann index mode {mode!r}: ivf | ivf_pq")
+    cvec = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n = int(cvec.count())
+    if n == 0:
+        raise ValueError("build_ann_index: empty corpus")
+    n_centroids, n_probe = _derive_ivf_params(n, n_centroids, n_probe)
+    X = _coarse_sample(cvec, n, train_size, seed)
+    C = kmeans_centroids(X, n_centroids, seed=seed)
+    books = None
+    if mode == "ivf_pq":
+        Xn = _normalize(X)
+        R = Xn - C[np.argmax(Xn @ C.T, axis=1)]
+        books = pq_train_codebooks(R, _pq_subdims(X.shape[1], m_subvectors),
+                                   seed=seed)
+    model = AnnIndexModel(
+        path=path, mode=mode, centroids=C, books=books,
+        n_probe=n_probe, seed=seed, n_corpus=n,
+    )
+
+    spark = corpus.sparkSession
+    bc_C = spark.sparkContext.broadcast(C)
+    bc_books = spark.sparkContext.broadcast(books)
+    pq = mode == "ivf_pq"
+    schema = _ROWS_SCHEMA_PQ if pq else _ROWS_SCHEMA_IVF
+
+    def _bucket(it):
+        Cm, bk = bc_C.value, bc_books.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Xp = _normalize(
+                np.stack([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
+            )
+            assign = np.argmax(Xp @ Cm.T, axis=1)
+            out = {
+                "added_batch": np.full(len(pdf), BASE_BATCH, dtype="int32"),
+                "bucket": assign.astype("int32"),
+                "id": pdf["id"].to_numpy(dtype=np.int64),
+            }
+            if pq:
+                out["code"] = [
+                    c.tobytes() for c in pq_encode(Xp - Cm[assign], bk)
+                ]
+            else:
+                out["vecn"] = list(map(list, Xp))
+            yield pd.DataFrame(out)
+
+    rows = cvec.mapInPandas(_bucket, schema=schema)
+    rows_path = model.rows_path
+    # full-replace build: clear stale bucket dirs from any previous build
+    # whose parameters produced a different bucket set, then write each
+    # bucket as one co-located file-set (hash shuffle on bucket)
+    shutil.rmtree(rows_path, ignore_errors=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        rows.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("added_batch", "bucket")
+        .parquet(rows_path)
+    )
+    _save_model(model)
+    return model
+
+
+def ensure_ann_index(
+    corpus: DataFrame,
+    path: str,
+    mode: str = "ivf",
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
+    m_subvectors: int | None = None,
+    seed: int = 11,
+    train_size: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> AnnIndexModel:
+    """Load the persisted index when its (mode, seed, corpus-count)
+    fingerprint matches, else (re)build.  The fingerprint is deliberately
+    cheap — one corpus count — because the build inputs are deterministic:
+    same corpus + same params ⇒ same index, byte for byte."""
+    existing = load_ann_index(path)
+    if existing is not None and existing.mode == mode and existing.seed == seed:
+        n = int(corpus.count())
+        want_c, want_p = _derive_ivf_params(n, n_centroids, n_probe)
+        if (
+            existing.n_corpus == n
+            and existing.centroids.shape[0] == min(want_c, n)
+            and existing.n_probe == want_p
+            and os.path.isdir(existing.rows_path)
+        ):
+            return existing
+    return build_ann_index(
+        corpus, path, mode=mode, n_centroids=n_centroids, n_probe=n_probe,
+        m_subvectors=m_subvectors, seed=seed, train_size=train_size,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def assign_delta(
+    model: AnnIndexModel, ids: np.ndarray, vecs: np.ndarray, added_batch: int
+) -> pd.DataFrame:
+    """FAISS-``add`` analogue: assign new vectors under the FROZEN model.
+    Returns the index-row frame (not yet persisted) so the caller can keep
+    the one in-flight delta in memory and persist it when the batch drains
+    (mirrors the pipeline's RW-state threading)."""
+    if len(ids) == 0:
+        return pd.DataFrame(
+            columns=[f.name for f in
+                     (_ROWS_SCHEMA_PQ if model.mode == "ivf_pq"
+                      else _ROWS_SCHEMA_IVF).fields]
+        )
+    return _assign_pdf(model, np.asarray(ids), np.asarray(vecs), added_batch)
+
+
+def existing_delta_batches(model: AnnIndexModel) -> set[int]:
+    """``added_batch`` values (excluding the base) already persisted — used
+    by resume to backfill deltas a pre-index lake (or a fingerprint-change
+    rebuild) is missing."""
+    out: set[int] = set()
+    if not os.path.isdir(model.rows_path):
+        return out
+    for e in os.listdir(model.rows_path):
+        if e.startswith("added_batch="):
+            try:
+                v = int(e.split("=", 1)[1])
+            except ValueError:
+                continue
+            if v != BASE_BATCH:
+                out.add(v)
+    return out
+
+
+def persist_delta(
+    model: AnnIndexModel, spark: SparkSession, delta_pdf: pd.DataFrame
+) -> None:
+    """Write a delta frame as its own ``added_batch`` partition(s) —
+    dynamic overwrite, so a re-run batch replaces exactly its own rows."""
+    if len(delta_pdf) == 0:
+        return
+    schema = _ROWS_SCHEMA_PQ if model.mode == "ivf_pq" else _ROWS_SCHEMA_IVF
+    df = spark.createDataFrame(
+        delta_pdf[[f.name for f in schema.fields]], schema=schema
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("added_batch", "bucket")
+        .parquet(model.rows_path)
+    )
+
+
+def _collect_queries(
+    queries: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    pdf = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).toPandas()
+    if len(pdf) == 0:
+        return np.empty(0, np.int64), np.empty((0, 0), np.float32)
+    Q = _normalize(np.stack([np.asarray(v, np.float32) for v in pdf["vec"]]))
+    return pdf["id"].to_numpy(dtype=np.int64), Q
+
+
+def _tie_inclusive_topk(S: np.ndarray, kk: int) -> tuple[np.ndarray, np.ndarray]:
+    """(rows, cols) of every entry ranking in the row-wise top ``kk`` OF
+    ``S``, ties at the boundary INCLUDED.  Emitting boundary ties makes the
+    local selection partitioning-invariant: the global window (score desc,
+    id asc) sees every tied contender no matter how the bucket's rows were
+    split across scan tasks, so resume/partition-invariance holds even for
+    exactly-equal scores."""
+    kk = min(kk, S.shape[1])
+    kth = np.partition(-S, kk - 1, axis=1)[:, kk - 1]
+    mask = (-S) <= kth[:, None]
+    mask &= np.isfinite(S)
+    return np.nonzero(mask)
+
+
+def ann_index_search(
+    model: AnnIndexModel,
+    spark: SparkSession,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int | None = None,
+    rerank: int | None = None,
+    rerank_corpus: DataFrame | None = None,
+    extra_rows: pd.DataFrame | None = None,
+    allowed_batches: list[int] | None = None,
+    exclude_self: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors from the persisted index.  Output = the engines'
+    shared ``(query_id, neighbor_id, cosine, rank)`` contract
+    (score = f32-matmul cosine for ivf, exact f64 re-ranked cosine for pq —
+    same dtypes as ``ivf_topk`` / ``ivf_pq_topk``).
+
+    * queries are collected ONCE (the batch's mentions — the same driver
+      budget as ``cosine_topk_scan``) and bucketed on the driver: no query
+      explosion through a shuffle, no per-row Python;
+    * the rows table is read with ``added_batch IN allowed`` and
+      ``bucket IN probed`` — both partition-dir columns, so unprobed
+      buckets and undrained batches are PRUNED at the file listing;
+    * each scan task scores its bucket blocks against only the queries
+      probing that bucket, emitting local top-k tie-inclusively; a window
+      merge keeps the global top-k;
+    * ``extra_rows`` is the one in-flight delta (assigned but not yet
+      persisted) — unioned into the scan, bounded at one batch;
+    * pq mode additionally needs ``rerank_corpus`` (id, vec) for the exact
+      re-rank join of the ≤|Q|·rerank shortlist.
+    """
+    qids, Q = _collect_queries(queries, id_col, vec_col)
+    if len(qids) == 0:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    npb = min(n_probe or model.n_probe, model.centroids.shape[0])
+    probe = np.argsort(-(Q @ model.centroids.T), axis=1)[:, :npb]
+    probed = np.unique(probe)
+    # bucket -> indices of the queries probing it (driver-side inverse map)
+    order = np.argsort(probe.ravel(), kind="stable")
+    flat_q = np.repeat(np.arange(len(Q)), npb)[order]
+    sorted_b = probe.ravel()[order]
+    starts = np.searchsorted(sorted_b, probed, side="left")
+    ends = np.searchsorted(sorted_b, probed, side="right")
+    bucket_queries = {
+        int(b): flat_q[s:e] for b, s, e in zip(probed, starts, ends)
+    }
+    bc = spark.sparkContext.broadcast(
+        (Q, qids, bucket_queries, model.books if model.mode == "ivf_pq" else None,
+         model.centroids if model.mode == "ivf_pq" else None)
+    )
+
+    pq = model.mode == "ivf_pq"
+    if pq and rerank is None:
+        rerank = max(4 * k, 32)
+    kk_local = rerank if pq else k
+
+    rows = _read_rows(
+        model, spark, probed.tolist(), allowed_batches, extra_rows
+    )
+    score_name = "pq_score" if pq else "cosine"
+    local_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField(score_name, T.DoubleType(), False),
+        ]
+    )
+
+    def _scan(it):
+        Qm, qid, bq, books, cents = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            for b, grp in pdf.groupby("bucket", sort=False):
+                qidx = bq.get(int(b))
+                if qidx is None or len(qidx) == 0:
+                    continue
+                Qb = Qm[qidx]
+                cids = grp["id"].to_numpy(dtype=np.int64)
+                if pq:
+                    mM, _, dsub = books.shape
+                    codes = np.frombuffer(
+                        b"".join(grp["code"]), dtype=np.uint8
+                    ).reshape(len(grp), mM)
+                    # ADC: score = q·centroid_b + Σ_m LUT[m] gathers
+                    S = np.tile(
+                        (Qb @ cents[int(b)]).astype(np.float32)[:, None],
+                        (1, len(grp)),
+                    )
+                    for mi in range(mM):
+                        lut = Qb[:, mi * dsub:(mi + 1) * dsub] @ books[mi].T
+                        S += lut[:, codes[:, mi]]
+                else:
+                    Vb = np.stack(
+                        [np.asarray(v, np.float32) for v in grp["vecn"]]
+                    )
+                    S = Qb @ Vb.T
+                if exclude_self:
+                    S = np.where(
+                        qid[qidx][:, None] == cids[None, :], -np.inf, S
+                    )
+                r, c = _tie_inclusive_topk(S, kk_local)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid[qidx][r],
+                        "neighbor_id": cids[c],
+                        score_name: S[r, c].astype(float),
+                    }
+                )
+
+    local = rows.mapInPandas(_scan, schema=local_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_name), F.asc("neighbor_id")
+    )
+    ranked = local.withColumn("rank", F.row_number().over(w))
+    if not pq:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "cosine", "rank"
+        )
+
+    if rerank_corpus is None:
+        raise ValueError("ann_index_search: pq mode needs rerank_corpus")
+    shortlist = ranked.filter(F.col("rank") <= rerank).select(
+        "query_id", "neighbor_id"
+    )
+    # exact re-rank: broadcast the small shortlist + query vectors against
+    # the corpus — the same f64 dot/norm expression family as
+    # cosine_topk_join, so cosines are comparable across engines
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = rerank_corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    joined = nv.join(F.broadcast(shortlist), "neighbor_id").join(
+        F.broadcast(qv), "query_id"
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = joined.withColumn(
+        "cosine", (dot / (norm(F.col("qv")) * norm(F.col("cv")))).cast("double")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _read_rows(
+    model: AnnIndexModel,
+    spark: SparkSession,
+    probed: list[int],
+    allowed_batches: list[int] | None,
+    extra_rows: pd.DataFrame | None,
+) -> DataFrame:
+    """The scan side: persisted partitions (pruned to probed buckets and,
+    when given, to drained ``added_batch`` values) ∪ the in-flight delta."""
+    data_col = "code" if model.mode == "ivf_pq" else "vecn"
+    schema = _ROWS_SCHEMA_PQ if model.mode == "ivf_pq" else _ROWS_SCHEMA_IVF
+    rows = spark.read.schema(schema).parquet(model.rows_path)
+    rows = rows.filter(F.col("bucket").isin(probed))
+    if allowed_batches is not None:
+        rows = rows.filter(F.col("added_batch").isin(list(allowed_batches)))
+    rows = rows.select("bucket", "id", data_col)
+    if extra_rows is not None and len(extra_rows):
+        keep = extra_rows[extra_rows["bucket"].isin(probed)]
+        if len(keep):
+            extra_df = spark.createDataFrame(
+                keep[["bucket", "id", data_col]],
+                schema=T.StructType([schema[1], schema[2], schema[3]]),
+            )
+            rows = rows.unionByName(extra_df)
+    return rows

@@ -62,6 +62,16 @@ def _encoding_list_array(enc: np.ndarray) -> pa.ListArray:
     )
 
 
+def _row_chunks(n: int, dim: int) -> Iterator[tuple[int, int]]:
+    """Slice [0, n) so each chunk's flat encoding buffer stays below the
+    int32 list-offset limit (2^31 values) — one mentions frame only ever
+    exceeds it at ~2M mentions × dim 1024, but the failure would be an
+    ArrowInvalid task error, so split instead."""
+    max_rows = max(1, ((1 << 31) - 1) // max(dim, 1))
+    for s in range(0, n, max_rows):
+        yield s, min(s + max_rows, n)
+
+
 def _candidates_list_array(
     counts: np.ndarray,
     ids: np.ndarray,
@@ -146,17 +156,21 @@ def detect_encode_retrieve(
             # straight from the flat (n, dim) matrix and the candidates
             # column from the kernel's flat top-k arrays — no per-row lists,
             # no per-candidate dicts (the last per-row Python on this path)
-            yield pa.RecordBatch.from_arrays(
-                _base_arrays(out)
-                + [
-                    _encoding_list_array(enc),
-                    _candidates_list_array(
-                        *topk_candidates_columnar(enc, shard_list, k_cfg, norm2),
-                        norm2,
-                    ),
-                ],
-                names=[f.name for f in FUSED_SCHEMA.fields],
-            )
+            for s, e in _row_chunks(len(out), dim):
+                o = out.iloc[s:e] if (s, e) != (0, len(out)) else out
+                yield pa.RecordBatch.from_arrays(
+                    _base_arrays(o)
+                    + [
+                        _encoding_list_array(enc[s:e]),
+                        _candidates_list_array(
+                            *topk_candidates_columnar(
+                                enc[s:e], shard_list, k_cfg, norm2
+                            ),
+                            norm2,
+                        ),
+                    ],
+                    names=[f.name for f in FUSED_SCHEMA.fields],
+                )
 
     cols = ["conv_id", "turn_idx", "batch_id", "text"]
     return transcripts.select(*cols).mapInArrow(_fused, schema=FUSED_SCHEMA)
@@ -183,10 +197,12 @@ def detect_encode(
             if res is None:
                 continue
             out, enc = res
-            yield pa.RecordBatch.from_arrays(
-                _base_arrays(out) + [_encoding_list_array(enc)],
-                names=[f.name for f in ENCODED_SCHEMA.fields],
-            )
+            for s, e in _row_chunks(len(out), dim):
+                o = out.iloc[s:e] if (s, e) != (0, len(out)) else out
+                yield pa.RecordBatch.from_arrays(
+                    _base_arrays(o) + [_encoding_list_array(enc[s:e])],
+                    names=[f.name for f in ENCODED_SCHEMA.fields],
+                )
 
     cols = ["conv_id", "turn_idx", "batch_id", "text"]
     return transcripts.select(*cols).mapInArrow(_de, schema=ENCODED_SCHEMA)

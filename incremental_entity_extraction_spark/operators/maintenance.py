@@ -34,6 +34,33 @@ import shutil
 
 from pyspark.sql import SparkSession
 
+# URI schemes whose "rename" is copy+delete (no atomicity): the two-rename
+# partition swap below is only crash-safe on a POSIX filesystem
+_NON_ATOMIC_SCHEMES = ("s3://", "s3a://", "s3n://", "gs://", "abfs://",
+                       "abfss://", "wasb://", "wasbs://", "oss://", "cos://")
+
+
+def _assert_posix_rename(root: str, op: str) -> None:
+    """The swap/delete protocol here relies on POSIX ``rename(2)`` atomicity
+    — explicitly ASSERTED, not assumed: on an object store (where a
+    10^12-turn lake actually lives) rename is copy+delete and the crash
+    window is proportional to partition bytes, not two metadata ops.  The
+    correct object-store design is a manifest-pointer commit — write the
+    compacted files under a new name, then atomically flip ONE small
+    manifest object that readers resolve the file list through (exactly
+    Iceberg's ``rewrite_data_files`` + snapshot-commit split, which this
+    module is the parquet-dir analogue of).  The parquet-dir stand-in lake
+    has no reader indirection to hang a manifest on, so object-store paths
+    are refused rather than silently made crash-unsafe."""
+    low = root.lower()
+    if any(low.startswith(s) for s in _NON_ATOMIC_SCHEMES):
+        raise NotImplementedError(
+            f"{op}: {root!r} is on an object store; the two-rename partition "
+            "swap is only atomic on POSIX filesystems. At this scale run the "
+            "real Iceberg action (rewrite_data_files / remove_orphan_files) "
+            "or a manifest-pointer commit instead."
+        )
+
 
 def _partition_dirs(root: str) -> list[str]:
     return sorted(
@@ -102,6 +129,7 @@ def compact_lake_table(
     import time
 
     root = lake.path(table)
+    _assert_posix_rename(root, "compact_lake_table")
     stats = {
         "partitions_compacted": 0,
         "files_before": 0,
@@ -176,6 +204,7 @@ def vacuum_lake(
     own)."""
     import time
 
+    _assert_posix_rename(lake.root, "vacuum_lake")
     if not os.path.exists(lake.lineage_path()):
         # no lineage == nothing can be judged orphaned.  Without this guard
         # a lake copied/mounted WITHOUT its lineage.jsonl would read as

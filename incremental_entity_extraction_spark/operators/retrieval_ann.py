@@ -36,30 +36,16 @@ _IDX_SHIFT = 1 << 40
 _MAX_INDEXER = 1 << 23
 
 
-def retrieve_topk_ann(
-    mentions: DataFrame,
-    kb_df: DataFrame,
-    cfg: PipelineConfig,
-    n_centroids: int | None = None,  # None → ivf_topk derives ≈ sqrt(|KB|)
-    n_probe: int | None = None,      # None → ivf_topk keeps the 25% ratio
-    seed: int = 11,
-) -> DataFrame:
-    """mentions(+encoding) × kb DataFrame -> mentions + candidates array.
+def composite_corpus(kb_df: DataFrame) -> DataFrame:
+    """(id, indexer, embedding) -> (vec_id, embedding) with the composite
+    long key, runtime-guarded.
 
-    kb_df needs (id, indexer, wikipedia_id, title, embedding).  Join-back is
-    on ``xxhash64(mention_id)`` (deterministic; collision odds ~n²/2⁶⁴)."""
-    norm2 = float(cfg.vector_norm) ** 2
-    queries = mentions.select(
-        F.xxhash64("mention_id").alias("vec_id"),
-        F.col("encoding").alias("embedding"),
-    )
-    # Guard the composite-key assumption at runtime: a row violating it would
-    # silently decode to the wrong entity.  raise_error is evaluated JVM-side
-    # per row — no extra action, negligible cost next to the dot products.
-    # the whole key construction lives inside the guarded branch: for legal
-    # values the key maxes out at exactly 2^63-1 (no overflow), and illegal
-    # ones raise BEFORE any arithmetic can ANSI-overflow with a less useful
-    # message
+    A row violating the key range would silently decode to the wrong entity.
+    raise_error is evaluated JVM-side per row — no extra action, negligible
+    cost next to the dot products.  The whole key construction lives inside
+    the guarded branch: for legal values the key maxes out at exactly 2^63-1
+    (no overflow), and illegal ones raise BEFORE any arithmetic can
+    ANSI-overflow with a less useful message."""
     checked_key = F.when(
         (F.col("id") < 0)
         | (F.col("id") >= F.lit(_IDX_SHIFT))
@@ -77,11 +63,97 @@ def retrieve_topk_ann(
     ).otherwise(
         F.col("indexer").cast("long") * F.lit(_IDX_SHIFT) + F.col("id").cast("long")
     )
-    corpus = kb_df.select(checked_key.alias("vec_id"), F.col("embedding"))
+    return kb_df.select(checked_key.alias("vec_id"), F.col("embedding"))
+
+
+def composite_keys_np(ids, indexers) -> "np.ndarray":
+    """NumPy twin of ``composite_corpus``'s key for driver-side delta
+    assembly; same range guard, same arithmetic."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    idx = np.asarray(indexers, dtype=np.int64)
+    if (
+        (ids < 0).any() or (ids >= _IDX_SHIFT).any()
+        or (idx < 0).any() or (idx >= _MAX_INDEXER).any()
+    ):
+        raise ValueError(
+            "composite_keys_np: id/indexer outside composite-key range "
+            "(id in [0, 2^40), indexer in [0, 2^23))"
+        )
+    return idx * _IDX_SHIFT + ids
+
+
+def retrieve_topk_ann(
+    mentions: DataFrame,
+    kb_df: DataFrame,
+    cfg: PipelineConfig,
+    n_centroids: int | None = None,  # None → ivf_topk derives ≈ sqrt(|KB|)
+    n_probe: int | None = None,      # None → ivf_topk keeps the 25% ratio
+    seed: int = 11,
+) -> DataFrame:
+    """mentions(+encoding) × kb DataFrame -> mentions + candidates array.
+
+    kb_df needs (id, indexer, wikipedia_id, title, embedding).  Join-back is
+    on ``xxhash64(mention_id)`` (deterministic; collision odds ~n²/2⁶⁴).
+
+    Per-call engine: trains/buckets on every invocation — right for ad-hoc
+    queries.  The incremental pipeline uses ``retrieve_topk_indexed`` over a
+    build-once persisted index instead (operators/ann_index.py)."""
+    queries = mentions.select(
+        F.xxhash64("mention_id").alias("vec_id"),
+        F.col("encoding").alias("embedding"),
+    )
+    corpus = composite_corpus(kb_df)
     nn = ivf_topk(
         queries, corpus, k=cfg.top_k, n_centroids=n_centroids, n_probe=n_probe,
         seed=seed, exclude_self=False,
     )
+    return _assemble_candidates(nn, mentions, kb_df, cfg)
+
+
+def retrieve_topk_indexed(
+    mentions: DataFrame,
+    kb_df: DataFrame,
+    cfg: PipelineConfig,
+    model,
+    extra_rows=None,
+    allowed_batches: list[int] | None = None,
+) -> DataFrame:
+    """Index-backed retrieval: same output contract as ``retrieve_topk_ann``
+    but against a persisted, incrementally-added ANN index
+    (operators/ann_index.AnnIndexModel) — no per-batch training, bucketing,
+    or corpus shuffle; the scan is pruned to probed buckets.  ``kb_df``
+    supplies candidate METADATA (and, in pq mode, the raw vectors for the
+    exact re-rank); ``extra_rows``/``allowed_batches`` thread the in-flight
+    delta and the drained-batch visibility set."""
+    from incremental_entity_extraction_spark.operators.ann_index import (
+        ann_index_search,
+    )
+
+    spark = mentions.sparkSession
+    queries = mentions.select(
+        F.xxhash64("mention_id").alias("vec_id"),
+        F.col("encoding").alias("embedding"),
+    )
+    nn = ann_index_search(
+        model, spark, queries, k=cfg.top_k,
+        rerank_corpus=(
+            composite_corpus(kb_df) if model.mode == "ivf_pq" else None
+        ),
+        extra_rows=extra_rows, allowed_batches=allowed_batches,
+        exclude_self=False,
+    )
+    return _assemble_candidates(nn, mentions, kb_df, cfg)
+
+
+def _assemble_candidates(
+    nn: DataFrame, mentions: DataFrame, kb_df: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) -> mentions + sorted
+    ``candidates array<CANDIDATE_STRUCT>`` (decode composite key, hydrate
+    metadata, per-mention sorted assembly)."""
+    norm2 = float(cfg.vector_norm) ** 2
     decoded = nn.select(
         F.col("query_id").alias("qid"),
         (F.col("neighbor_id") % F.lit(_IDX_SHIFT)).alias("id"),

@@ -298,30 +298,53 @@ def _coarse_sample(cvec: DataFrame, n: int, train_size: int, seed: int) -> np.nd
 def _bucketed_queries(
     queries: DataFrame, id_col: str, vec_col: str, bc_C, n_probe: int
 ) -> DataFrame:
-    """Each query exploded to its n_probe nearest-centroid buckets."""
+    """Each query exploded to its n_probe nearest-centroid buckets.
 
-    def _bq(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Arrow-native assembly: the replicated ``vecn`` column is built from ONE
+    flat ``Qp[reps]`` buffer with arithmetic offsets (the fused stage's
+    pattern, operators/fused.py) — the earlier per-row
+    ``[list(Qp[r]) for r in reps]`` pushed n_mentions × n_probe × dim floats
+    through Python lists per call."""
+    import pyarrow as pa
+
+    # list<float> offsets are int32: cap rows per emitted batch so the flat
+    # replicated buffer stays below 2^31 values
+    def _bq(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         Cm = bc_C.value
         npb = min(n_probe, Cm.shape[0])
-        for pdf in it:
-            if len(pdf) == 0:
+        max_rows = max(1, ((1 << 31) - 1) // (Cm.shape[1] * npb))
+        for rb in it:
+            if rb.num_rows == 0:
                 continue
+            pdf = rb.to_pandas()
             Qp = _normalize(
                 np.stack([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
             )
-            probe = np.argsort(-(Qp @ Cm.T), axis=1)[:, :npb].astype("int32")
-            reps = np.repeat(np.arange(len(Qp)), npb)
-            yield pd.DataFrame(
-                {
-                    "bucket": probe.ravel(),
-                    "id": pdf["id"].to_numpy()[reps],
-                    "vecn": [list(Qp[r]) for r in reps],
-                }
-            )
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            probe_all = np.argsort(-(Qp @ Cm.T), axis=1)[:, :npb].astype("int32")
+            for s in range(0, len(Qp), max_rows):
+                e = min(s + max_rows, len(Qp))
+                reps = np.repeat(np.arange(s, e), npb)
+                Qrep = Qp[reps]
+                n, dim = Qrep.shape
+                vecn = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(n + 1, dtype=np.int64) * dim, type=pa.int32()
+                    ),
+                    pa.array(Qrep.ravel(), type=pa.float32()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(probe_all[s:e].ravel(), type=pa.int32()),
+                        pa.array(ids[reps], type=pa.int64()),
+                        vecn,
+                    ],
+                    names=["bucket", "id", "vecn"],
+                )
 
     return queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).mapInPandas(_bq, schema=_BUCKETED_SCHEMA)
+    ).mapInArrow(_bq, schema=_BUCKETED_SCHEMA)
 
 
 def ivf_topk(

@@ -143,6 +143,9 @@ def run_batch(
     retrieval_mode: str = "broadcast",
     kb_ro_df: DataFrame | None = None,
     rw_df: DataFrame | None = None,
+    ann_model=None,
+    ann_extra_rows=None,
+    ann_allowed_batches: list[int] | None = None,
 ):
     """One batch: transcripts -> (nil_scored, clusters_with_ids, new_entities,
     triples).  Nothing is collected except the (small) cluster/new-entity
@@ -150,19 +153,25 @@ def run_batch(
 
     ``retrieval_mode='broadcast'`` (default): KB shards broadcast, fused
     single-hop detect→encode→retrieve — exact, for KBs within the broadcast
-    budget (the reference's regime).  ``'ivf'``: the KB stays a DataFrame
-    (``kb_ro_df`` + the RW delta) and candidates come from the distributed
-    IVF engine — approximate, for entity dimensions beyond broadcast.  In
-    ivf mode the RW delta is preferably passed as ``rw_df`` (a DataFrame —
+    budget (the reference's regime).  ``'ivf'`` / ``'ivf_pq'``: the KB stays
+    a DataFrame (``kb_ro_df`` + the RW delta) and candidates come from the
+    distributed ANN engine — approximate, for entity dimensions beyond
+    broadcast.  When ``ann_model`` is given (run_incremental builds one per
+    run — operators/ann_index.py), retrieval scans the PERSISTED index with
+    frozen centroids/codebooks: ``ann_extra_rows`` is the one in-flight
+    delta and ``ann_allowed_batches`` the drained-batch visibility set.
+    Without a model the per-call ivf engine runs (direct callers, streaming
+    driver).  The RW delta is preferably passed as ``rw_df`` (a DataFrame —
     ``run_incremental`` threads it through the lake's ``new_entities`` table
     so driver memory never accretes); ``rw_pdf`` is the fallback for direct
     callers."""
-    if retrieval_mode == "ivf":
+    if retrieval_mode in ("ivf", "ivf_pq"):
         from incremental_entity_extraction_spark.operators.fused import (
             detect_encode,
         )
         from incremental_entity_extraction_spark.operators.retrieval_ann import (
             retrieve_topk_ann,
+            retrieve_topk_indexed,
         )
 
         kb_cols = ["id", "indexer", "wikipedia_id", "title", "embedding"]
@@ -175,11 +184,23 @@ def run_batch(
                 spark.createDataFrame(rw_pdf[kb_cols])
             )
         # one fused detect+encode hop (not two chained mapInPandas), then
-        # the distributed ANN join — the KB is never collected or broadcast
+        # the distributed ANN scan — the KB is never collected or broadcast
         encoded = detect_encode(
             transcripts_batch, cfg, known_words=known_words, encoder=encoder
         )
-        enriched = retrieve_topk_ann(encoded, kb_df, cfg)
+        if ann_model is not None:
+            enriched = retrieve_topk_indexed(
+                encoded, kb_df, cfg, ann_model,
+                extra_rows=ann_extra_rows,
+                allowed_batches=ann_allowed_batches,
+            )
+        else:
+            if retrieval_mode == "ivf_pq":
+                raise ValueError(
+                    "retrieval_mode='ivf_pq' needs a prebuilt ann_model "
+                    "(run_incremental builds one; see operators/ann_index.py)"
+                )
+            enriched = retrieve_topk_ann(encoded, kb_df, cfg)
     else:
         shards = list(ro_shards)
         if len(rw_pdf):
@@ -394,6 +415,7 @@ def run_incremental(
     entities can never be retrieved, the same net semantics without the
     sentinel round-trip.  Deleted RW ids are never reassigned (``next_rw_id``
     is computed before the tombstone filter)."""
+    ann = retrieval_mode in ("ivf", "ivf_pq")
     dels = sorted(int(i) for i in deleted_entity_ids) if deleted_entity_ids else []
     if dels:
         kb_ro = kb_ro.filter(~F.col("id").isin(dels))
@@ -401,7 +423,7 @@ def run_incremental(
         transcripts = transcripts.withColumn(
             "batch_id", F.lit(0).cast(transcripts.schema["batch_id"].dataType)
         )
-    # ivf mode never collects the KB — that is its point
+    # ANN modes never collect the KB — that is their point
     ro_shards = build_kb_shards(kb_ro, n_shards) if retrieval_mode == "broadcast" else []
     if partitions is None:
         # size tasks to the data: ~2000 turns per task, bounded by the
@@ -439,13 +461,13 @@ def run_incremental(
     drained: set[int] = {int(b) for b in done}
     lake_rw = lake.read(spark, "new_entities")
     last_delta_pdf: pd.DataFrame | None = None
-    if retrieval_mode == "ivf":
-        # ivf exists for the beyond-broadcast regime, so RW state must not
-        # accrete in driver memory: it stays IN the lake's ``new_entities``
-        # table.  The driver keeps only ``next_rw_id`` plus the single
-        # in-flight delta whose async write has not drained yet (bounded at
-        # one batch); each batch's KB union reads the drained partitions
-        # back as a DataFrame (_rw_state_df).
+    if ann:
+        # ANN modes exist for the beyond-broadcast regime, so RW state must
+        # not accrete in driver memory: it stays IN the lake's
+        # ``new_entities`` table.  The driver keeps only ``next_rw_id`` plus
+        # the single in-flight delta whose async write has not drained yet
+        # (bounded at one batch); each batch's KB union reads the drained
+        # partitions back as a DataFrame (_rw_state_df).
         rw_pdf = empty_rw
         next_rw_id = 0
         if lake_rw is not None and drained:
@@ -461,15 +483,76 @@ def run_incremental(
         ).drop("batch_id").toPandas()
     else:
         rw_pdf = empty_rw
-    if retrieval_mode != "ivf":
+    if not ann:
         next_rw_id = int(rw_pdf["id"].max()) + 1 if len(rw_pdf) else 0
         if dels and len(rw_pdf):
             rw_pdf = rw_pdf[~rw_pdf["id"].isin(dels)].reset_index(drop=True)
 
+    # ---- build-once ANN index (FAISS build/serialize/load/add semantics,
+    # pipeline/indexer/main.py:178-214; operators/ann_index.py) -----------
+    ann_model = None
+    ann_inflight: pd.DataFrame | None = None  # in-flight delta index rows
+    if ann:
+        import numpy as np
+
+        from incremental_entity_extraction_spark.operators.ann_index import (
+            BASE_BATCH,
+            assign_delta,
+            ensure_ann_index,
+            existing_delta_batches,
+            persist_delta,
+        )
+        from incremental_entity_extraction_spark.operators.retrieval_ann import (
+            composite_corpus,
+            composite_keys_np,
+        )
+
+        # trained/bucketed ONCE per (corpus, params); a resume run loads the
+        # persisted model + rows and pays zero retraining
+        ann_model = ensure_ann_index(
+            composite_corpus(kb_ro.select("id", "indexer", "embedding")),
+            lake.path("ann_index"),
+            mode=retrieval_mode,
+        )
+
+        def _index_delta_pdf(add_pdf: pd.DataFrame, batch_id: int):
+            """RW delta rows -> index rows under the FROZEN model (FAISS
+            ``add``).  Deleted RW ids keep their index rows; they can
+            surface as neighbor ids but drop at metadata hydration (inner
+            join) — the same net semantics as the reference's dummy-score
+            sentinel for vector-without-metadata (indexer/main.py:121-135)."""
+            if add_pdf is None or not len(add_pdf):
+                return None
+            keys = composite_keys_np(
+                add_pdf["id"].to_numpy(),
+                np.full(len(add_pdf), cfg.rw_indexer_id, dtype=np.int64),
+            )
+            vecs = np.stack(
+                [np.asarray(v, np.float32) for v in add_pdf["embedding"]]
+            )
+            return assign_delta(ann_model, keys, vecs, int(batch_id))
+
+        # backfill: drained batches whose delta partition is missing (a lake
+        # written by a pre-index version, or a fingerprint-change rebuild
+        # that wiped the rows dir) are re-assigned from new_entities — tiny
+        # per-batch frames, frozen model, byte-deterministic
+        if drained:
+            missing = sorted(drained - existing_delta_batches(ann_model))
+            if missing and lake_rw is not None:
+                for b in missing:
+                    pdf = (
+                        lake_rw.filter(F.col("batch_id") == int(b))
+                        .drop("batch_id")
+                        .toPandas()
+                    )
+                    rows = _index_delta_pdf(pdf, b)
+                    if rows is not None:
+                        persist_delta(ann_model, spark, rows)
+
     def _rw_state_df() -> DataFrame | None:
-        """ivf mode: the RW entity table as a DataFrame — lake partitions of
-        drained batches + the one not-yet-drained in-memory delta."""
-        if retrieval_mode != "ivf":
+        """ANN modes: the RW entity table as a DataFrame — lake partitions
+        of drained batches + the one not-yet-drained in-memory delta."""
+        if not ann:
             return None
         parts: list[DataFrame] = []
         cur = lake.read(spark, "new_entities")
@@ -494,11 +577,16 @@ def run_incremental(
     # (tiny) RW delta, which BatchPersist.rw_delta() returns immediately.
     # Lineage is marked strictly after finish(), so a crash mid-overlap
     # leaves batch N unmarked and the prefix-resume re-runs it idempotently.
-    pending: tuple[int, BatchPersist, dict] | None = None
+    pending: tuple | None = None
 
     def _drain(p) -> None:
-        b_prev, bp_prev, extra = p
+        b_prev, bp_prev, extra, idx_rows = p
         stats = {**bp_prev.finish(), **extra}
+        if ann_model is not None and idx_rows is not None:
+            # index delta BEFORE the lineage mark: a crash in between leaves
+            # the batch unmarked, so the re-run overwrites the partition
+            # byte-identically (frozen model ⇒ deterministic assignment)
+            persist_delta(ann_model, spark, idx_rows)
         lake.mark_complete(int(b_prev), stats)
         drained.add(int(b_prev))  # its new_entities partition is now readable
         stats_rows.append({"batch_id": int(b_prev), **stats})
@@ -514,6 +602,11 @@ def run_incremental(
             nil_scored, clusters_with_ids, new_entities, triples = run_batch(
                 tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words,
                 encoder, retrieval_mode, kb_ro, rw_df=_rw_state_df(),
+                ann_model=ann_model, ann_extra_rows=ann_inflight,
+                ann_allowed_batches=(
+                    [BASE_BATCH] + sorted(drained) if ann_model is not None
+                    else None
+                ),
             )
             # S7 analogue: persist the enriched mention table per batch
             # (reference pickles outdata per batch, eval_kbp.py:654-658);
@@ -524,10 +617,11 @@ def run_incremental(
             )
             # thread RW state forward (small dimension delta)
             add_pdf = bp.rw_delta()
-            if retrieval_mode == "ivf":
+            if ann:
                 # keep only this batch's delta in memory; older batches are
                 # read back from the lake once their writes drain
                 last_delta_pdf = add_pdf
+                ann_inflight = _index_delta_pdf(add_pdf, int(b))
                 if len(add_pdf):
                     next_rw_id = max(next_rw_id, int(add_pdf["id"].max()) + 1)
             elif len(add_pdf):
@@ -549,6 +643,7 @@ def run_incremental(
                     "n_clusters": int(len(add_pdf)),
                     "wall_s": round(time.time() - t0, 3),
                 },
+                ann_inflight,
             )
         if pending is not None:
             _drain(pending)

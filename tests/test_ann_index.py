@@ -1,0 +1,188 @@
+"""Build-once ANN index (operators/ann_index.py): S6 serialize/load parity,
+FAISS-add delta semantics, recall vs the exact engine, and the pipeline
+contract that the KB is trained/bucketed ONCE per run — never per batch."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_entity_extraction_spark.operators import ann_index as ai
+from incremental_entity_extraction_spark.operators.ann_index import (
+    BASE_BATCH,
+    ann_index_search,
+    assign_delta,
+    build_ann_index,
+    ensure_ann_index,
+    existing_delta_batches,
+    load_ann_index,
+    persist_delta,
+)
+from incremental_entity_extraction_spark.operators.similarity_search import (
+    cosine_topk_join,
+)
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rng = np.random.default_rng(7)
+    # 12 loose clusters so IVF bucketing has structure to find
+    centers = rng.normal(size=(12, 32)).astype(np.float32) * 4
+    rows = []
+    for i in range(400):
+        c = centers[i % 12]
+        rows.append((i, [float(x) for x in c + rng.normal(size=32).astype(np.float32)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def built(spark, embs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("annidx") / "idx")
+    model = build_ann_index(embs, path, mode="ivf", n_centroids=12, seed=11)
+    return model, embs
+
+
+def _recall(spark, approx_df, queries, corpus, k):
+    exact = (
+        cosine_topk_join(queries, corpus, k=k, exclude_self=True)
+        .toPandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    got = approx_df.toPandas().groupby("query_id")["neighbor_id"].apply(set)
+    hits = sum(
+        len(got.get(q, set()) & exact[q]) for q in exact.index
+    )
+    return hits / sum(len(v) for v in exact.values)
+
+
+def test_build_search_recall(spark, built):
+    model, embs = built
+    q = embs.limit(60)
+    out = ann_index_search(
+        model, spark, q, k=5, n_probe=6, exclude_self=True
+    )
+    assert _recall(spark, out, q, embs, 5) >= 0.9
+
+
+def test_model_roundtrip_and_reuse(spark, built, embs):
+    model, _ = built
+    loaded = load_ann_index(model.path)
+    assert loaded is not None
+    assert loaded.mode == "ivf" and loaded.seed == model.seed
+    np.testing.assert_array_equal(loaded.centroids, model.centroids)
+    assert loaded.n_corpus == model.n_corpus
+
+    # matching fingerprint -> ensure loads, does NOT retrain
+    calls = []
+    orig = ai.kmeans_centroids
+    ai.kmeans_centroids = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        m2 = ensure_ann_index(embs, model.path, mode="ivf", n_centroids=12)
+        assert calls == []
+        np.testing.assert_array_equal(m2.centroids, model.centroids)
+        # param change -> rebuild
+        ensure_ann_index(embs, model.path, mode="ivf", n_centroids=6)
+        assert calls == [1]
+    finally:
+        ai.kmeans_centroids = orig
+        # restore the original index for later tests
+        build_ann_index(embs, model.path, mode="ivf", n_centroids=12, seed=11)
+
+
+def test_delta_add_and_visibility(spark, built):
+    model, embs = built
+    rng = np.random.default_rng(3)
+    new_vecs = rng.normal(size=(5, 32)).astype(np.float32) * 3
+    new_ids = np.arange(1000, 1005, dtype=np.int64)
+    delta = assign_delta(model, new_ids, new_vecs, added_batch=0)
+    assert set(delta["added_batch"]) == {0}
+
+    q = spark.createDataFrame(
+        [(int(5000 + i), [float(x) for x in new_vecs[i]]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    # in-flight (extra_rows) visibility: self vector must be top-1
+    out = ann_index_search(
+        model, spark, q, k=3, extra_rows=delta,
+        allowed_batches=[BASE_BATCH],
+    ).toPandas()
+    top1 = out[out["rank"] == 1].set_index("query_id")["neighbor_id"]
+    assert all(top1[5000 + i] == 1000 + i for i in range(5))
+
+    # persisted visibility: same result once the delta partition is written
+    persist_delta(model, spark, delta)
+    assert existing_delta_batches(model) == {0}
+    out2 = ann_index_search(
+        model, spark, q, k=3, allowed_batches=[BASE_BATCH, 0],
+    ).toPandas()
+    top1b = out2[out2["rank"] == 1].set_index("query_id")["neighbor_id"]
+    assert all(top1b[5000 + i] == 1000 + i for i in range(5))
+
+    # undrained batches are invisible (crash-window isolation)
+    out3 = ann_index_search(
+        model, spark, q, k=3, allowed_batches=[BASE_BATCH],
+    ).toPandas()
+    assert not set(out3["neighbor_id"]) & set(new_ids.tolist())
+
+    # idempotent rewrite (dynamic overwrite of the same partition)
+    persist_delta(model, spark, delta)
+    out4 = ann_index_search(
+        model, spark, q, k=3, allowed_batches=[BASE_BATCH, 0],
+    ).toPandas()
+    assert len(out4) == len(out2)
+
+
+def test_pq_index_search_recall_and_exact_scores(spark, embs, tmp_path):
+    model = build_ann_index(
+        embs, str(tmp_path / "pq_idx"), mode="ivf_pq", n_centroids=12, seed=11
+    )
+    assert model.books is not None
+    q = embs.limit(40)
+    out = ann_index_search(
+        model, spark, q, k=5, n_probe=6, rerank=64,
+        rerank_corpus=embs, exclude_self=True,
+    )
+    pdf = out.toPandas()
+    assert _recall(spark, out, q, embs, 5) >= 0.9
+    # exact re-rank: emitted cosines match the exact engine's values
+    exact = cosine_topk_join(q, embs, k=5, exclude_self=True).toPandas()
+    merged = pdf.merge(
+        exact, on=["query_id", "neighbor_id"], suffixes=("", "_exact")
+    )
+    assert len(merged) > 0
+    np.testing.assert_allclose(
+        merged["cosine"], merged["cosine_exact"], rtol=0, atol=1e-12
+    )
+
+
+def test_search_partitioning_invariant(spark, built):
+    """Tie-inclusive local top-k: the result set must not depend on how the
+    rows are split across scan tasks."""
+    model, embs = built
+    q = embs.limit(25)
+    a = (
+        ann_index_search(model, spark, q, k=5, exclude_self=True)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        b = (
+            ann_index_search(model, spark, q, k=5, exclude_self=True)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert a[["query_id", "neighbor_id", "rank"]].equals(
+        b[["query_id", "neighbor_id", "rank"]]
+    )
+
+
+def test_empty_queries(spark, built):
+    model, embs = built
+    q = embs.filter(F.col("vec_id") < 0)
+    assert ann_index_search(model, spark, q, k=5).count() == 0

@@ -200,3 +200,23 @@ def test_compaction_between_runs_preserves_resume(spark, spark_world, tmp_path):
     )
     assert [s["batch_id"] for s in stats] == [2, 3]
     assert _triples(part) == _triples(full)
+
+
+def test_object_store_paths_are_refused(spark):
+    """The two-rename swap is atomic only under POSIX rename(2); an
+    object-store lake must be refused loudly, not silently made
+    crash-unsafe (the real fix there is a manifest-pointer commit —
+    see maintenance._assert_posix_rename)."""
+    import pytest
+
+    from incremental_entity_extraction_spark.operators.maintenance import (
+        compact_lake_table,
+        vacuum_lake,
+    )
+    from incremental_entity_extraction_spark.pipeline import Lake
+
+    s3_lake = Lake("s3a://bucket/lake")
+    with pytest.raises(NotImplementedError, match="object store"):
+        compact_lake_table(spark, s3_lake, "rows")
+    with pytest.raises(NotImplementedError, match="object store"):
+        vacuum_lake(s3_lake)

@@ -143,6 +143,97 @@ def test_large_indexer_decodes_exactly(spark, cfg):
     assert cands[0]["id"] == 0  # self-similar vector decodes to the right id
 
 
+def test_pipeline_e2e_with_ivf_pq_retrieval(spark, spark_world, world, cfg, tmp_path):
+    """retrieval_mode='ivf_pq': codes in the index, exact re-rank from the
+    KB vectors — triples must still match the oracle at P/R >= 0.95."""
+    from incremental_entity_extraction_spark.oracle import oracle_run_incremental
+    from incremental_entity_extraction_spark.pipeline import Lake, run_incremental
+
+    _, _, ot, _ = oracle_run_incremental(world.transcripts, world.entities_kb, cfg)
+    oset = set(map(tuple, ot[["subj", "pred", "obj"]].itertuples(index=False)))
+    lake = Lake(str(tmp_path / "pq_lake"))
+    run_incremental(
+        spark, spark_world["transcripts"], spark_world["entities_kb"], lake, cfg,
+        cluster_mode="greedy_replay", retrieval_mode="ivf_pq",
+    )
+    st = spark.read.parquet(lake.path("triples")).toPandas()
+    sset = set(map(tuple, st[["subj", "pred", "obj"]].itertuples(index=False)))
+    p = len(sset & oset) / len(sset)
+    r = len(sset & oset) / len(oset)
+    assert p >= 0.95 and r >= 0.95, f"ivf_pq-mode triples P={p:.3f} R={r:.3f}"
+
+
+def test_ann_modes_train_once_and_resume_trains_zero(
+    spark, spark_world, cfg, tmp_path
+):
+    """The round-5 scale contract: k-means training and full-KB bucketing
+    happen ONCE per (corpus, params) — batch 2..N and resume runs pay only
+    delta assignment (FAISS add semantics, faiss_indexer.py:34-43 +
+    indexer/main.py:178-214)."""
+    from incremental_entity_extraction_spark.operators import ann_index as ai
+    from incremental_entity_extraction_spark.operators import (
+        similarity_search as ss,
+    )
+    from incremental_entity_extraction_spark.pipeline import Lake, run_incremental
+
+    calls = []
+    orig = ss.kmeans_centroids
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    # ann_index binds the name at import time — patch both modules
+    ss.kmeans_centroids = spy
+    ai.kmeans_centroids = spy
+    try:
+        lake = Lake(str(tmp_path / "train_once_lake"))
+        run_incremental(
+            spark, spark_world["transcripts"], spark_world["entities_kb"],
+            lake, cfg, cluster_mode="greedy_replay", retrieval_mode="ivf",
+        )
+        # one training for a 4-batch run — NOT one per batch
+        assert len(calls) == 1, f"k-means trained {len(calls)}× in one run"
+        # resume over a complete lineage: loads the persisted model, trains 0×
+        run_incremental(
+            spark, spark_world["transcripts"], spark_world["entities_kb"],
+            lake, cfg, cluster_mode="greedy_replay", retrieval_mode="ivf",
+        )
+        assert len(calls) == 1, "resume retrained the persisted index"
+    finally:
+        ss.kmeans_centroids = orig
+        ai.kmeans_centroids = orig
+
+
+def test_ivf_pq_resume_is_byte_identical(spark, spark_world, cfg, tmp_path):
+    from pyspark.sql import functions as F
+
+    from incremental_entity_extraction_spark.pipeline import Lake, run_incremental
+
+    def _triples(lake):
+        pdf = spark.read.parquet(lake.path("triples")).toPandas()
+        return set(map(tuple, pdf[["subj", "pred", "obj"]].itertuples(index=False)))
+
+    full = Lake(str(tmp_path / "pq_full"))
+    run_incremental(
+        spark, spark_world["transcripts"], spark_world["entities_kb"], full,
+        cfg, cluster_mode="greedy_replay", retrieval_mode="ivf_pq",
+    )
+    part = Lake(str(tmp_path / "pq_part"))
+    run_incremental(
+        spark,
+        spark_world["transcripts"].filter(F.col("batch_id") <= 1),
+        spark_world["entities_kb"], part, cfg,
+        cluster_mode="greedy_replay", retrieval_mode="ivf_pq",
+    )
+    stats = run_incremental(
+        spark, spark_world["transcripts"], spark_world["entities_kb"], part,
+        cfg, cluster_mode="greedy_replay", retrieval_mode="ivf_pq",
+    )
+    assert [s["batch_id"] for s in stats] == [2, 3]
+    assert _triples(part) == _triples(full)
+
+
 def test_ivf_resume_is_byte_identical_and_driver_state_bounded(
     spark, spark_world, cfg, tmp_path
 ):
