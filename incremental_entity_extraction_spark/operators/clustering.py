@@ -245,36 +245,44 @@ def cluster_summarize_greedy(nil_df: DataFrame, cfg: PipelineConfig) -> DataFram
     th = float(cfg.greedy_threshold)
 
     def _replay_summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["conv_id", "turn_idx", "start_tok"]).reset_index(
-            drop=True
-        )
-        if len(pdf) == 0:
-            return pd.DataFrame(columns=[f.name for f in CLUSTER_SCHEMA.fields])
-        enc = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["encoding"]])
-        labels = greedy_cluster_labels(enc, th)  # root row index per row
-        rows = []
-        batch_id = int(pdf["batch_id"].iloc[0])
-        for root in pd.unique(labels):
-            members = np.where(labels == root)[0]  # canonical order preserved
-            sub_enc = enc[members]
-            mentions = [pdf["mention"].iloc[i] for i in members]
-            rows.append(
-                {
-                    "cluster_label": pdf["mention_id"].iloc[int(root)],
-                    "batch_id": batch_id,
-                    "title": modal_value(mentions),
-                    "nelements": len(members),
-                    "mentions_id": [pdf["mention_id"].iloc[i] for i in members],
-                    "mentions": mentions,
-                    "center": sub_enc[medoid_index(sub_enc)].tolist(),
-                }
-            )
-        return pd.DataFrame(rows, columns=[f.name for f in CLUSTER_SCHEMA.fields])
+        return greedy_summarize_pdf(pdf, th)
 
     return nil_df.select(
         "batch_id", "conv_id", "turn_idx", "start_tok", "mention_id",
         "mention", "encoding",
     ).groupBy("batch_id").applyInPandas(_replay_summarize, schema=CLUSTER_SCHEMA)
+
+
+def greedy_summarize_pdf(pdf: pd.DataFrame, th: float) -> pd.DataFrame:
+    """One batch's NIL rows (pandas) -> cluster summary rows — the
+    ``cluster_summarize_greedy`` task kernel as a plain function, shared by
+    the applyInPandas wrapper and the driver-gated tiny-batch path
+    (pipeline.run_batch), so both produce identical rows by construction."""
+    pdf = pdf.sort_values(["conv_id", "turn_idx", "start_tok"]).reset_index(
+        drop=True
+    )
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=[f.name for f in CLUSTER_SCHEMA.fields])
+    enc = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["encoding"]])
+    labels = greedy_cluster_labels(enc, th)  # root row index per row
+    rows = []
+    batch_id = int(pdf["batch_id"].iloc[0])
+    for root in pd.unique(labels):
+        members = np.where(labels == root)[0]  # canonical order preserved
+        sub_enc = enc[members]
+        mentions = [pdf["mention"].iloc[i] for i in members]
+        rows.append(
+            {
+                "cluster_label": pdf["mention_id"].iloc[int(root)],
+                "batch_id": batch_id,
+                "title": modal_value(mentions),
+                "nelements": len(members),
+                "mentions_id": [pdf["mention_id"].iloc[i] for i in members],
+                "mentions": mentions,
+                "center": sub_enc[medoid_index(sub_enc)].tolist(),
+            }
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in CLUSTER_SCHEMA.fields])
 
 
 def min_rank_labels(
@@ -332,53 +340,61 @@ def cluster_summarize_cc(nil_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     th = float(cfg.greedy_threshold)
 
     def _cc_summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["conv_id", "turn_idx", "start_tok"]).reset_index(
-            drop=True
-        )
-        n = len(pdf)
-        if n == 0:
-            return pd.DataFrame(columns=[f.name for f in CLUSTER_SCHEMA.fields])
-        enc = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["encoding"]])
-        ids = pdf["mention_id"].to_numpy()
-        # lexicographic rank of each mention_id (string order == the label
-        # contract of connected_components_star / _components_union_find)
-        order = np.argsort(ids.astype(object), kind="stable")
-        rank = np.empty(n, dtype=np.int64)
-        rank[order] = np.arange(n)
-        # boolean adjacency, chunked to keep each score tile ≈ 8 MB
-        chunk = max(1, min(4096, (1 << 21) // max(n, 1)))
-        adj_chunks: list[np.ndarray] = []
-        for i0 in range(0, n, chunk):
-            S = enc[i0 : i0 + chunk] @ enc.T
-            A = S > th
-            np.fill_diagonal(A[:, i0 : i0 + chunk], False)
-            adj_chunks.append(A)
-        inv = np.empty(n, dtype=np.int64)  # rank -> row index
-        inv[rank] = np.arange(n)
-        label = min_rank_labels(adj_chunks, rank, inv)
-        rows = []
-        batch_id = int(pdf["batch_id"].iloc[0])
-        for root_rank in pd.unique(label):
-            members = np.where(label == root_rank)[0]  # canonical order
-            sub_enc = enc[members]
-            mentions = [pdf["mention"].iloc[i] for i in members]
-            rows.append(
-                {
-                    "cluster_label": ids[inv[int(root_rank)]],
-                    "batch_id": batch_id,
-                    "title": modal_value(mentions),
-                    "nelements": len(members),
-                    "mentions_id": [ids[i] for i in members],
-                    "mentions": mentions,
-                    "center": sub_enc[medoid_index(sub_enc)].tolist(),
-                }
-            )
-        return pd.DataFrame(rows, columns=[f.name for f in CLUSTER_SCHEMA.fields])
+        return cc_summarize_pdf(pdf, th)
 
     return nil_df.select(
         "batch_id", "conv_id", "turn_idx", "start_tok", "mention_id",
         "mention", "encoding",
     ).groupBy("batch_id").applyInPandas(_cc_summarize, schema=CLUSTER_SCHEMA)
+
+
+def cc_summarize_pdf(pdf: pd.DataFrame, th: float) -> pd.DataFrame:
+    """One batch's NIL rows (pandas) -> cluster summary rows — the
+    ``cluster_summarize_cc`` task kernel as a plain function, shared by the
+    applyInPandas wrapper and the driver-gated tiny-batch path
+    (pipeline.run_batch), so both produce identical rows by construction."""
+    pdf = pdf.sort_values(["conv_id", "turn_idx", "start_tok"]).reset_index(
+        drop=True
+    )
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame(columns=[f.name for f in CLUSTER_SCHEMA.fields])
+    enc = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["encoding"]])
+    ids = pdf["mention_id"].to_numpy()
+    # lexicographic rank of each mention_id (string order == the label
+    # contract of connected_components_star / _components_union_find)
+    order = np.argsort(ids.astype(object), kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    # boolean adjacency, chunked to keep each score tile ≈ 8 MB
+    chunk = max(1, min(4096, (1 << 21) // max(n, 1)))
+    adj_chunks: list[np.ndarray] = []
+    for i0 in range(0, n, chunk):
+        S = enc[i0 : i0 + chunk] @ enc.T
+        A = S > th
+        np.fill_diagonal(A[:, i0 : i0 + chunk], False)
+        adj_chunks.append(A)
+    inv = np.empty(n, dtype=np.int64)  # rank -> row index
+    inv[rank] = np.arange(n)
+    label = min_rank_labels(adj_chunks, rank, inv)
+    rows = []
+    batch_id = int(pdf["batch_id"].iloc[0])
+    for root_rank in pd.unique(label):
+        members = np.where(label == root_rank)[0]  # canonical order
+        sub_enc = enc[members]
+        mentions = [pdf["mention"].iloc[i] for i in members]
+        rows.append(
+            {
+                "cluster_label": ids[inv[int(root_rank)]],
+                "batch_id": batch_id,
+                "title": modal_value(mentions),
+                "nelements": len(members),
+                "mentions_id": [ids[i] for i in members],
+                "mentions": mentions,
+                "center": sub_enc[medoid_index(sub_enc)].tolist(),
+            }
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in CLUSTER_SCHEMA.fields])
 
 
 # --------------------------------------------------------------------------

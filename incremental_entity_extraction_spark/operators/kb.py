@@ -29,8 +29,12 @@ def assign_new_entity_ids(
         F.asc("title"),
         F.asc(F.element_at("mentions_id", 1)),
     )
+    # explicit long: F.lit(python_int) is IntegerType while start_id fits
+    # int32, so without the cast the column TYPE would silently flip to
+    # long at the 2^31-th entity — a schema break mid-lake
     return clusters.withColumn(
-        "index_id", F.row_number().over(w) - 1 + F.lit(start_id)
+        "index_id",
+        (F.row_number().over(w) - 1 + F.lit(start_id)).cast("long"),
     ).withColumn("index_indexer", F.lit(cfg.rw_indexer_id))
 
 

@@ -35,17 +35,22 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from incremental_entity_extraction_spark.config import DEFAULT_CONFIG, PipelineConfig
 from incremental_entity_extraction_spark.operators.clustering import (
+    CLUSTER_SCHEMA,
+    cc_summarize_pdf,
     cluster_cc,
     cluster_summarize_cc,
     cluster_summarize_greedy,
     cluster_three_step,
     cluster_tfidf,
+    greedy_summarize_pdf,
     summarize_clusters_df,
 )
 
@@ -75,6 +80,70 @@ from incremental_entity_extraction_spark.operators.triples import (
 # gate the distributed chain (broadcast sweep / LSH blocking + adaptive
 # star-CC) runs unchanged.
 CC_FUSED_MAX = 8192
+
+# driver fast-path gate: batches whose NIL set is at most this many rows are
+# clustered + summarized + id-assigned ON THE DRIVER (same kernels —
+# clustering.cc_summarize_pdf / greedy_summarize_pdf — on the collected
+# frame) and re-parallelized via createDataFrame.  The incremental regime's
+# typical batch discovers a handful of new entities; for those the fused
+# distributed path's cost is pure job latency (an applyInPandas shuffle, a
+# window, a localCheckpoint — ≈0.3 s/batch at sf0.1 for ≤12 rows).  1024
+# rows bounds the collect at ~1 MB of encodings; above the gate the fused
+# task path (≤ CC_FUSED_MAX) and the distributed chain run unchanged.
+DRIVER_CLUSTER_MAX = 1024
+
+_CLUSTERS_WITH_IDS_SCHEMA = T.StructType(
+    list(CLUSTER_SCHEMA.fields)
+    + [
+        T.StructField("index_id", T.LongType(), False),
+        T.StructField("index_indexer", T.IntegerType(), False),
+    ]
+)
+
+
+def _driver_cluster_assign(
+    nil_df: DataFrame, cfg: PipelineConfig, cluster_mode: str, next_rw_id: int
+) -> DataFrame:
+    """Tiny-NIL-batch fast path: collect, run the SAME per-batch kernel the
+    fused applyInPandas stage runs, assign ids in the SAME canonical order
+    as operators/kb.assign_new_entity_ids (nelements desc, title asc,
+    first-member asc — pandas stable sort ≡ the window sort; UTF-8 byte
+    order ≡ Python str order on all codepoints), and re-parallelize.
+    Output rows are identical to the fused path's (pinned by
+    tests/test_pipeline_e2e.py gate-parity)."""
+    spark = nil_df.sparkSession
+    pdf = nil_df.select(
+        "batch_id", "conv_id", "turn_idx", "start_tok", "mention_id",
+        "mention", "encoding",
+    ).toPandas()
+    th = float(cfg.greedy_threshold)
+    kernel = cc_summarize_pdf if cluster_mode == "cc" else greedy_summarize_pdf
+    parts = [kernel(g, th) for _, g in pdf.groupby("batch_id", sort=True)]
+    cols = [f.name for f in CLUSTER_SCHEMA.fields]
+    clusters = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame(columns=cols)
+    )
+    if len(clusters):
+        clusters = (
+            clusters.assign(_first=clusters["mentions_id"].str[0])
+            .sort_values(
+                ["nelements", "title", "_first"],
+                ascending=[False, True, True],
+                kind="stable",
+            )
+            .drop(columns="_first")
+            .reset_index(drop=True)
+        )
+    clusters["index_id"] = np.arange(len(clusters), dtype=np.int64) + int(
+        next_rw_id
+    )
+    clusters["index_indexer"] = np.int32(cfg.rw_indexer_id)
+    return spark.createDataFrame(
+        clusters[cols + ["index_id", "index_indexer"]],
+        schema=_CLUSTERS_WITH_IDS_SCHEMA,
+    )
 
 
 @dataclass
@@ -226,7 +295,18 @@ def run_batch(
         "mention_id", "conv_id", "turn_idx", "start_tok", "batch_id",
         "mention", "context_left", "context_right", "encoding",
     )
-    if cluster_mode == "greedy_replay":
+    n_nil = int(gate_obs.get["n_nil"] or 0)
+    if cluster_mode in ("cc", "greedy_replay") and n_nil <= DRIVER_CLUSTER_MAX:
+        # tiny-batch driver path: same kernels, no applyInPandas shuffle, no
+        # window job, no checkpoint — replaces ≈0.3 s of per-batch job
+        # latency with one small collect (_driver_cluster_assign docstring)
+        clusters_with_ids = _driver_cluster_assign(
+            nil_df, cfg, cluster_mode, next_rw_id
+        )
+        labels = clusters_with_ids.select(
+            F.explode("mentions_id").alias("mention_id"), "cluster_label"
+        )
+    elif cluster_mode == "greedy_replay":
         # fused replay+summarize: one shuffle/Python stage and ONE checkpoint
         # instead of two of each; labels recovered JVM-side from the member
         # lists (output proven identical to the composed chain by the e2e
@@ -238,7 +318,7 @@ def run_batch(
         labels = clusters_with_ids.select(
             F.explode("mentions_id").alias("mention_id"), "cluster_label"
         )
-    elif cluster_mode == "cc" and int(gate_obs.get["n_nil"] or 0) <= CC_FUSED_MAX:
+    elif cluster_mode == "cc" and n_nil <= CC_FUSED_MAX:
         # small-batch fast path: edges+CC+summaries in one task per batch
         # (cluster_summarize_cc docstring); labels recovered by exploding
         # the member lists, exactly like the greedy_replay fused path

@@ -137,3 +137,46 @@ def test_partition_invariance(spark, spark_world, cfg, tmp_path, mode):
         )
     assert outs[0] == outs[1]
     pd.testing.assert_frame_equal(ents[0], ents[1])
+
+
+@pytest.mark.parametrize("mode", ["greedy_replay", "cc"])
+def test_driver_gate_parity_with_distributed_path(
+    spark, spark_world, cfg, tmp_path, mode, monkeypatch
+):
+    """The tiny-batch driver fast path (pipeline.DRIVER_CLUSTER_MAX) must be
+    byte-identical to the fused distributed path it replaces: same triples,
+    same new-entity ids/titles, same prev_clusters rows."""
+    import incremental_entity_extraction_spark.pipeline as pl
+
+    outs, ents, prevs = [], [], []
+    for gate in (pl.DRIVER_CLUSTER_MAX, -1):  # driver path vs forced fused
+        monkeypatch.setattr(pl, "DRIVER_CLUSTER_MAX", gate)
+        lk = pl.Lake(str(tmp_path / f"gate_{mode}_{gate}"))
+        run_incremental(
+            spark,
+            spark_world["transcripts"],
+            spark_world["entities_kb"],
+            lk,
+            cfg,
+            cluster_mode=mode,
+        )
+        outs.append(
+            _triple_set(spark.read.parquet(lk.path("triples")).toPandas())
+        )
+        ents.append(
+            spark.read.parquet(lk.path("new_entities"))
+            .toPandas()
+            .drop(columns=["embedding"])
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        prevs.append(
+            spark.read.parquet(lk.path("prev_clusters"))
+            .select("cluster_label", "title", "nelements", "batch_id")
+            .toPandas()
+            .sort_values(["batch_id", "cluster_label"])
+            .reset_index(drop=True)
+        )
+    assert outs[0] == outs[1]
+    pd.testing.assert_frame_equal(ents[0], ents[1])
+    pd.testing.assert_frame_equal(prevs[0], prevs[1])
