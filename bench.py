@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q38_ivf_recall",
     "q46_jsonl_scan",
     "q49_ivf_pq_recall",
+    "q50_ann_index",
 ]
 
 

@@ -84,13 +84,15 @@ CC_FUSED_MAX = 8192
 # driver fast-path gate: batches whose NIL set is at most this many rows are
 # clustered + summarized + id-assigned ON THE DRIVER (same kernels —
 # clustering.cc_summarize_pdf / greedy_summarize_pdf — on the collected
-# frame) and re-parallelized via createDataFrame.  The incremental regime's
-# typical batch discovers a handful of new entities; for those the fused
-# distributed path's cost is pure job latency (an applyInPandas shuffle, a
-# window, a localCheckpoint — ≈0.3 s/batch at sf0.1 for ≤12 rows).  1024
-# rows bounds the collect at ~1 MB of encodings; above the gate the fused
-# task path (≤ CC_FUSED_MAX) and the distributed chain run unchanged.
-DRIVER_CLUSTER_MAX = 1024
+# frame) and re-parallelized via createDataFrame.  The fused task path this
+# replaces is ONE applyInPandas group — a single executor thread doing the
+# identical single-threaded kernel work — so below the gate the driver path
+# is the same compute minus an applyInPandas shuffle, a global window, and a
+# localCheckpoint (≈0.3 s/batch of pure job latency at sf0.1).  Sized to
+# CC_FUSED_MAX: the collect is ≤8192 encodings (~8 MB at dim 256) and the
+# kernel's score tiles are chunked at 8 MB either way; above the gate the
+# distributed chain (broadcast sweep / LSH + star-CC) runs unchanged.
+DRIVER_CLUSTER_MAX = CC_FUSED_MAX
 
 _CLUSTERS_WITH_IDS_SCHEMA = T.StructType(
     list(CLUSTER_SCHEMA.fields)
