@@ -391,26 +391,47 @@ def ann_index_search(
     exclude_self: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_mode: str = "driver",
 ) -> DataFrame:
     """Top-k neighbors from the persisted index.  Output = the engines'
     shared ``(query_id, neighbor_id, cosine, rank)`` contract
     (score = f32-matmul cosine for ivf, exact f64 re-ranked cosine for pq —
     same dtypes as ``ivf_topk`` / ``ivf_pq_topk``).
 
-    * queries are collected ONCE (the batch's mentions — the same driver
-      budget as ``cosine_topk_scan``) and bucketed on the driver: no query
-      explosion through a shuffle, no per-row Python;
+    ``query_mode='driver'`` (default — the incremental regime, where a
+    batch's mention set is modest):
+
+    * queries are collected ONCE (the same driver budget as
+      ``cosine_topk_scan``) and bucketed on the driver: no query explosion
+      through a shuffle, no per-row Python;
     * the rows table is read with ``added_batch IN allowed`` and
       ``bucket IN probed`` — both partition-dir columns, so unprobed
       buckets and undrained batches are PRUNED at the file listing;
     * each scan task scores its bucket blocks against only the queries
       probing that bucket, emitting local top-k tie-inclusively; a window
-      merge keeps the global top-k;
-    * ``extra_rows`` is the one in-flight delta (assigned but not yet
-      persisted) — unioned into the scan, bounded at one batch;
-    * pq mode additionally needs ``rerank_corpus`` (id, vec) for the exact
-      re-rank join of the ≤|Q|·rerank shortlist.
+      merge keeps the global top-k.
+
+    ``query_mode='cogroup'`` (unbounded query sets — e.g. an all-pairs
+    near-dup sweep over the whole corpus): nothing query-sized reaches the
+    driver either — queries are bucketed distributed (the Arrow-native
+    ``_bucketed_queries`` explode) and scored against the persisted rows
+    with a ``cogroup(bucket)``, exactly ``ivf_topk``'s topology except the
+    corpus side comes pre-bucketed from the index (no per-call training or
+    corpus bucketing).  Bucket pruning is moot there: an unbounded query
+    set probes essentially every bucket.
+
+    Shared: ``extra_rows`` is the one in-flight delta (assigned but not
+    yet persisted) — unioned into the scan, bounded at one batch; pq mode
+    additionally needs ``rerank_corpus`` (id, vec) for the exact re-rank
+    join of the ≤|Q|·rerank shortlist.
     """
+    if query_mode == "cogroup":
+        return _search_cogroup(
+            model, spark, queries, k, n_probe, rerank, rerank_corpus,
+            extra_rows, allowed_batches, exclude_self, id_col, vec_col,
+        )
+    if query_mode != "driver":
+        raise ValueError(f"unknown query_mode {query_mode!r}: driver | cogroup")
     qids, Q = _collect_queries(queries, id_col, vec_col)
     if len(qids) == 0:
         return spark.createDataFrame([], _TOPK_SCHEMA)
@@ -491,6 +512,25 @@ def ann_index_search(
                 )
 
     local = rows.mapInPandas(_scan, schema=local_schema)
+    return _rank_and_finish(
+        local, score_name, pq, k, rerank, queries, rerank_corpus,
+        id_col, vec_col,
+    )
+
+
+def _rank_and_finish(
+    local: DataFrame,
+    score_name: str,
+    pq: bool,
+    k: int,
+    rerank: int | None,
+    queries: DataFrame,
+    rerank_corpus: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Global window merge of the per-task local top-k; pq mode continues
+    into the exact re-rank of the shortlist."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc(score_name), F.asc("neighbor_id")
     )
@@ -533,6 +573,97 @@ def ann_index_search(
         scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _search_cogroup(
+    model: AnnIndexModel,
+    spark: SparkSession,
+    queries: DataFrame,
+    k: int,
+    n_probe: int | None,
+    rerank: int | None,
+    rerank_corpus: DataFrame | None,
+    extra_rows: pd.DataFrame | None,
+    allowed_batches: list[int] | None,
+    exclude_self: bool,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Distributed-queries search: ``ivf_topk``'s cogroup topology with the
+    corpus side read pre-bucketed from the persisted index (zero per-call
+    training or corpus bucketing).  Nothing query- or corpus-sized touches
+    the driver — the path for unbounded query sets."""
+    from incremental_entity_extraction_spark.operators.similarity_search import (
+        _bucketed_queries,
+    )
+
+    pq = model.mode == "ivf_pq"
+    if pq and rerank is None:
+        rerank = max(4 * k, 32)
+    kk_local = rerank if pq else k
+    npb = min(n_probe or model.n_probe, model.centroids.shape[0])
+    bc_C = spark.sparkContext.broadcast(model.centroids)
+    bc_books = spark.sparkContext.broadcast(model.books)
+    queries_b = _bucketed_queries(queries, id_col, vec_col, bc_C, npb)
+    rows = _read_rows(
+        model, spark, list(range(model.centroids.shape[0])),
+        allowed_batches, extra_rows,
+    )
+
+    score_name = "pq_score" if pq else "cosine"
+    local_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField(score_name, T.DoubleType(), False),
+        ]
+    )
+
+    def _score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0 or len(qdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], score_name: []}
+            )
+        Qb = np.stack([np.asarray(v, np.float32) for v in qdf["vecn"]])
+        qids = qdf["id"].to_numpy(dtype=np.int64)
+        cids = cdf["id"].to_numpy(dtype=np.int64)
+        b = int(cdf["bucket"].iloc[0])
+        if pq:
+            books = bc_books.value
+            mM, _, dsub = books.shape
+            codes = np.frombuffer(
+                b"".join(cdf["code"]), dtype=np.uint8
+            ).reshape(len(cdf), mM)
+            S = np.tile(
+                (Qb @ bc_C.value[b]).astype(np.float32)[:, None],
+                (1, len(cdf)),
+            )
+            for mi in range(mM):
+                lut = Qb[:, mi * dsub:(mi + 1) * dsub] @ books[mi].T
+                S += lut[:, codes[:, mi]]
+        else:
+            Vb = np.stack([np.asarray(v, np.float32) for v in cdf["vecn"]])
+            S = Qb @ Vb.T
+        if exclude_self:
+            S = np.where(qids[:, None] == cids[None, :], -np.inf, S)
+        r, c = _tie_inclusive_topk(S, kk_local)
+        return pd.DataFrame(
+            {
+                "query_id": qids[r],
+                "neighbor_id": cids[c],
+                score_name: S[r, c].astype(float),
+            }
+        )
+
+    local = (
+        rows.groupby("bucket")
+        .cogroup(queries_b.groupby("bucket"))
+        .applyInPandas(_score, schema=local_schema)
+    )
+    return _rank_and_finish(
+        local, score_name, pq, k, rerank, queries, rerank_corpus,
+        id_col, vec_col,
     )
 
 

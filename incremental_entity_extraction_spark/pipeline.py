@@ -255,10 +255,13 @@ def run_batch(
                 spark.createDataFrame(rw_pdf[kb_cols])
             )
         # one fused detect+encode hop (not two chained mapInPandas), then
-        # the distributed ANN scan — the KB is never collected or broadcast
+        # the distributed ANN scan — the KB is never collected or broadcast.
+        # Checkpointed because the enriched plan references it twice (the
+        # query side of the ANN search AND the join-back mentions side) —
+        # without it the detect+encode kernel would run once per branch.
         encoded = detect_encode(
             transcripts_batch, cfg, known_words=known_words, encoder=encoder
-        )
+        ).localCheckpoint()
         if ann_model is not None:
             enriched = retrieve_topk_indexed(
                 encoded, kb_df, cfg, ann_model,

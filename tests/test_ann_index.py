@@ -186,3 +186,49 @@ def test_empty_queries(spark, built):
     model, embs = built
     q = embs.filter(F.col("vec_id") < 0)
     assert ann_index_search(model, spark, q, k=5).count() == 0
+
+
+def test_cogroup_query_mode_matches_driver_mode(spark, built, embs, tmp_path):
+    """query_mode='cogroup' (unbounded query sets, nothing collected) must
+    return exactly the driver-bucketed path's results — same engine, same
+    index, different query topology."""
+    model, _ = built
+    q = embs.limit(30)
+    a = (
+        ann_index_search(model, spark, q, k=5, exclude_self=True)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        ann_index_search(
+            model, spark, q, k=5, exclude_self=True, query_mode="cogroup"
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a[["query_id", "neighbor_id", "rank"]].equals(
+        b[["query_id", "neighbor_id", "rank"]]
+    )
+    # the two topologies block the same f32 matmul differently, so values
+    # agree to f32 accumulation noise, not bit-exactly (pq's exact f64
+    # re-rank below IS bit-comparable by construction)
+    np.testing.assert_allclose(a["cosine"], b["cosine"], rtol=0, atol=2e-5)
+
+    pq_model = build_ann_index(
+        embs, str(tmp_path / "pq_cg"), mode="ivf_pq", n_centroids=12, seed=11
+    )
+    c = (
+        ann_index_search(
+            pq_model, spark, q, k=5, rerank=64, rerank_corpus=embs,
+            exclude_self=True,
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    d = (
+        ann_index_search(
+            pq_model, spark, q, k=5, rerank=64, rerank_corpus=embs,
+            exclude_self=True, query_mode="cogroup",
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert c[["query_id", "neighbor_id", "rank"]].equals(
+        d[["query_id", "neighbor_id", "rank"]]
+    )
