@@ -49,12 +49,21 @@ def run_streaming_incremental(
     ``max_files_per_trigger`` < number of files forces multiple micro-batches
     (exercises cross-epoch state threading); ``availableNow`` drains all
     pending input then stops.  ``encoder``/``retrieval_mode`` mirror
-    ``run_incremental`` (pipeline.py)."""
+    ``run_incremental`` (pipeline.py) — the ANN modes (``ivf``/``ivf_pq``)
+    use the same build-once persisted index: built/loaded lazily at the
+    first micro-batch, deltas persisted synchronously per batch (streaming
+    persists synchronously anyway), so an interrupted stream resumes with
+    zero retraining exactly like the batch driver."""
+    ann = retrieval_mode in ("ivf", "ivf_pq")
     ro_shards = (
         build_kb_shards(kb_ro, n_shards) if retrieval_mode == "broadcast" else []
     )
+    ann_model = None
 
     def _process(batch_df, epoch_id: int) -> None:
+        nonlocal ann_model
+        import numpy as np
+
         # state snapshot from the lake (epoch-safe resume)
         done = lake.completed_batches()
         rw_df = lake.read(spark, "new_entities")
@@ -73,6 +82,57 @@ def run_streaming_incremental(
             )
         next_rw_id = int(rw_pdf["id"].max()) + 1 if len(rw_pdf) else 0
 
+        if ann and ann_model is None:
+            from incremental_entity_extraction_spark.operators.ann_index import (
+                ensure_ann_index,
+            )
+            from incremental_entity_extraction_spark.operators.retrieval_ann import (
+                composite_corpus,
+            )
+
+            ann_model = ensure_ann_index(
+                composite_corpus(kb_ro.select("id", "indexer", "embedding")),
+                lake.path("ann_index"),
+                mode=retrieval_mode,
+            )
+        if ann:
+            from incremental_entity_extraction_spark.operators.ann_index import (
+                BASE_BATCH,
+                assign_delta,
+                existing_delta_batches,
+                persist_delta,
+            )
+            from incremental_entity_extraction_spark.operators.retrieval_ann import (
+                composite_keys_np,
+            )
+
+            def _delta_rows(pdf: pd.DataFrame, b: int):
+                if pdf is None or not len(pdf):
+                    return None
+                keys = composite_keys_np(
+                    pdf["id"].to_numpy(),
+                    np.full(len(pdf), cfg.rw_indexer_id, dtype=np.int64),
+                )
+                vecs = np.stack(
+                    [np.asarray(v, np.float32) for v in pdf["embedding"]]
+                )
+                return assign_delta(ann_model, keys, vecs, int(b))
+
+            # backfill deltas a pre-index lake (or a rebuild) is missing
+            missing = sorted(
+                {int(b) for b in done} - existing_delta_batches(ann_model)
+            )
+            if missing and rw_df is not None:
+                for b in missing:
+                    rows = _delta_rows(
+                        rw_df.filter(F.col("batch_id") == int(b))
+                        .drop("batch_id").toPandas(),
+                        b,
+                    )
+                    if rows is not None:
+                        persist_delta(ann_model, spark, rows)
+
+        visible = sorted(int(b) for b in done)
         batch_ids = sorted(
             r["batch_id"]
             for r in batch_df.select("batch_id").distinct().collect()
@@ -84,11 +144,22 @@ def run_streaming_incremental(
             nil_scored, clusters_with_ids, new_entities, triples = run_batch(
                 tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words,
                 encoder, retrieval_mode, kb_ro,
+                ann_model=ann_model,
+                ann_allowed_batches=(
+                    [BASE_BATCH] + visible if ann_model is not None else None
+                ),
             )
             add_pdf, _counts = persist_batch(
                 lake, nil_scored, clusters_with_ids, new_entities, triples,
                 persist_candidates,
             )
+            if ann:
+                # synchronous delta persist BEFORE the lineage mark — the
+                # same crash-window ordering as run_incremental._drain
+                rows = _delta_rows(add_pdf, int(b))
+                if rows is not None:
+                    persist_delta(ann_model, spark, rows)
+                visible.append(int(b))
             if len(add_pdf):
                 rw_pdf = (
                     pd.concat([rw_pdf, add_pdf], ignore_index=True)

@@ -88,3 +88,34 @@ def test_resume_with_dataless_new_entities(spark, spark_world, cfg, tmp_path):
     # resume must not crash
     stats = run_incremental(spark, t, kb, lake, cfg, cluster_mode="greedy_replay")
     assert [s["batch_id"] for s in stats] == [1]
+
+
+def test_streaming_ivf_pq_equals_batch_ivf_pq(spark, spark_world, world, cfg, tmp_path):
+    """ANN retrieval in the streaming driver rides the SAME build-once
+    persisted index as the batch driver (built at the first micro-batch,
+    deltas persisted per batch before the lineage mark): a multi-epoch
+    ivf_pq stream must emit exactly the batch ivf_pq run's triples."""
+    batch_lake = Lake(str(tmp_path / "b_pq_lake"))
+    run_incremental(
+        spark, spark_world["transcripts"], spark_world["entities_kb"],
+        batch_lake, cfg, cluster_mode="greedy_replay", retrieval_mode="ivf_pq",
+    )
+    expected = _triples(spark, batch_lake)
+
+    src = str(tmp_path / "src_pq")
+    for b in sorted(world.transcripts["batch_id"].unique()):
+        spark_world["transcripts"].filter(F.col("batch_id") == int(b)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream_lake = Lake(str(tmp_path / "s_pq_lake"))
+    run_streaming_incremental(
+        spark, src, spark_world["entities_kb"], stream_lake, cfg,
+        cluster_mode="greedy_replay", retrieval_mode="ivf_pq",
+        max_files_per_trigger=1,  # one micro-batch per file: index deltas
+                                  # must thread across epochs
+    )
+    assert _triples(spark, stream_lake) == expected
+    import os
+
+    assert os.path.isdir(stream_lake.path("ann_index"))
