@@ -105,6 +105,7 @@ class AnnIndexModel:
     n_probe: int
     seed: int
     n_corpus: int              # build-time corpus rows (cache-validation key)
+    corpus_fp: int = 0         # order-independent content fingerprint
 
     @property
     def rows_path(self) -> str:
@@ -125,6 +126,7 @@ def _save_model(m: AnnIndexModel) -> None:
         "n_probe": int(m.n_probe),
         "seed": int(m.seed),
         "n_corpus": int(m.n_corpus),
+        "corpus_fp": int(m.corpus_fp),
     }
     with open(tmp, "wb") as f:
         np.savez(
@@ -134,6 +136,22 @@ def _save_model(m: AnnIndexModel) -> None:
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         )
     os.replace(tmp, os.path.join(m.path, _MODEL_FILE))
+
+
+def _corpus_stats(cvec: DataFrame) -> tuple[int, int]:
+    """(row count, order-independent content fingerprint) in ONE scan.
+
+    bit_xor of xxhash64(id, vec) catches what a bare count cannot: an
+    in-place re-encode, or one entity replaced by another with the count
+    unchanged — either would otherwise let ``ensure_ann_index`` serve a
+    stale index against changed vectors.  xor is commutative, so the value
+    is partitioning- and order-invariant."""
+    row = cvec.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(id, vec))").alias("fp"),
+    ).first()
+    n = int(row["n"])
+    return n, int(row["fp"]) if row["fp"] is not None else 0
 
 
 def load_ann_index(path: str) -> AnnIndexModel | None:
@@ -153,6 +171,7 @@ def load_ann_index(path: str) -> AnnIndexModel | None:
                 n_probe=int(meta["n_probe"]),
                 seed=int(meta["seed"]),
                 n_corpus=int(meta["n_corpus"]),
+                corpus_fp=int(meta.get("corpus_fp", 0)),
             )
     except Exception:
         return None
@@ -202,7 +221,7 @@ def build_ann_index(
     if mode not in ("ivf", "ivf_pq"):
         raise ValueError(f"unknown ann index mode {mode!r}: ivf | ivf_pq")
     cvec = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    n = int(cvec.count())
+    n, fp = _corpus_stats(cvec)
     if n == 0:
         raise ValueError("build_ann_index: empty corpus")
     n_centroids, n_probe = _derive_ivf_params(n, n_centroids, n_probe)
@@ -216,7 +235,7 @@ def build_ann_index(
                                    seed=seed)
     model = AnnIndexModel(
         path=path, mode=mode, centroids=C, books=books,
-        n_probe=n_probe, seed=seed, n_corpus=n,
+        n_probe=n_probe, seed=seed, n_corpus=n, corpus_fp=fp,
     )
 
     spark = corpus.sparkSession
@@ -249,10 +268,18 @@ def build_ann_index(
 
     rows = cvec.mapInPandas(_bucket, schema=schema)
     rows_path = model.rows_path
-    # full-replace build: clear stale bucket dirs from any previous build
-    # whose parameters produced a different bucket set, then write each
-    # bucket as one co-located file-set (hash shuffle on bucket)
+    # crash-ordered full replace: INVALIDATE the old model first (a crash
+    # mid-build must leave "no index", never an old model paired with
+    # new/partial rows that ensure_ann_index would serve), then clear stale
+    # bucket dirs + delta markers, write each bucket as one co-located
+    # file-set (hash shuffle on bucket), and only then commit the new model.
+    try:
+        os.remove(os.path.join(path, _MODEL_FILE))
+    except FileNotFoundError:
+        pass
     shutil.rmtree(rows_path, ignore_errors=True)
+    for mk in _delta_marker_files(path):
+        os.remove(mk)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         rows.repartition("bucket")
@@ -276,20 +303,31 @@ def ensure_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> AnnIndexModel:
-    """Load the persisted index when its (mode, seed, corpus-count)
-    fingerprint matches, else (re)build.  The fingerprint is deliberately
-    cheap — one corpus count — because the build inputs are deterministic:
-    same corpus + same params ⇒ same index, byte for byte."""
+    """Load the persisted index when its (mode, seed, corpus count+content
+    fingerprint) matches, else (re)build.  The fingerprint is one combined
+    count + bit_xor-of-xxhash64 scan (``_corpus_stats``) — the same cost
+    class as a count, but it also catches in-place re-encodes and
+    same-count entity swaps, which a bare count would silently serve stale
+    results for.  ``n_probe`` is NOT part of the fingerprint: it is a pure
+    search-time knob the stored rows are independent of, so a changed
+    value just updates the persisted model instead of forcing a full
+    retrain + corpus rewrite."""
     existing = load_ann_index(path)
     if existing is not None and existing.mode == mode and existing.seed == seed:
-        n = int(corpus.count())
+        cvec = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        n, fp = _corpus_stats(cvec)
         want_c, want_p = _derive_ivf_params(n, n_centroids, n_probe)
         if (
             existing.n_corpus == n
+            and existing.corpus_fp == fp
             and existing.centroids.shape[0] == min(want_c, n)
-            and existing.n_probe == want_p
             and os.path.isdir(existing.rows_path)
         ):
+            if existing.n_probe != want_p:
+                existing.n_probe = want_p
+                _save_model(existing)
             return existing
     return build_ann_index(
         corpus, path, mode=mode, n_centroids=n_centroids, n_probe=n_probe,
@@ -314,42 +352,64 @@ def assign_delta(
     return _assign_pdf(model, np.asarray(ids), np.asarray(vecs), added_batch)
 
 
+_DELTA_MARKER = "delta_ok_"
+
+
+def _delta_marker_files(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return [
+        os.path.join(path, e)
+        for e in os.listdir(path)
+        if e.startswith(_DELTA_MARKER)
+    ]
+
+
 def existing_delta_batches(model: AnnIndexModel) -> set[int]:
-    """``added_batch`` values (excluding the base) already persisted — used
-    by resume to backfill deltas a pre-index lake (or a fingerprint-change
-    rebuild) is missing."""
+    """``added_batch`` values whose delta persist COMMITTED — read from the
+    per-batch marker files, not from partition-dir existence: a crash
+    mid-``persist_delta`` can leave a partial ``added_batch=N`` directory,
+    and dir-existence would then skip the backfill forever (the batch is
+    already in the lineage, so nothing else re-runs it).  The marker is
+    written strictly after the partition write succeeds; re-persisting is
+    idempotent (dynamic overwrite).  Batches that discovered zero entities
+    get a marker too, so resume never re-scans them."""
     out: set[int] = set()
-    if not os.path.isdir(model.rows_path):
-        return out
-    for e in os.listdir(model.rows_path):
-        if e.startswith("added_batch="):
-            try:
-                v = int(e.split("=", 1)[1])
-            except ValueError:
-                continue
-            if v != BASE_BATCH:
-                out.add(v)
+    for mk in _delta_marker_files(model.path):
+        try:
+            out.add(int(os.path.basename(mk)[len(_DELTA_MARKER):]))
+        except ValueError:
+            continue
     return out
 
 
 def persist_delta(
-    model: AnnIndexModel, spark: SparkSession, delta_pdf: pd.DataFrame
+    model: AnnIndexModel,
+    spark: SparkSession,
+    delta_pdf: pd.DataFrame | None,
+    added_batch: int,
 ) -> None:
     """Write a delta frame as its own ``added_batch`` partition(s) —
-    dynamic overwrite, so a re-run batch replaces exactly its own rows."""
-    if len(delta_pdf) == 0:
-        return
-    schema = _ROWS_SCHEMA_PQ if model.mode == "ivf_pq" else _ROWS_SCHEMA_IVF
-    df = spark.createDataFrame(
-        delta_pdf[[f.name for f in schema.fields]], schema=schema
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        df.coalesce(1)
-        .write.mode("overwrite")
-        .partitionBy("added_batch", "bucket")
-        .parquet(model.rows_path)
-    )
+    dynamic overwrite, so a re-run batch replaces exactly its own rows —
+    then commit the batch's marker file.  An empty/None delta writes only
+    the marker (records "this batch's delta is complete: nothing")."""
+    if delta_pdf is not None and len(delta_pdf):
+        schema = _ROWS_SCHEMA_PQ if model.mode == "ivf_pq" else _ROWS_SCHEMA_IVF
+        df = spark.createDataFrame(
+            delta_pdf[[f.name for f in schema.fields]], schema=schema
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("added_batch", "bucket")
+            .parquet(model.rows_path)
+        )
+    marker = os.path.join(model.path, f"{_DELTA_MARKER}{int(added_batch)}")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("")
+    os.replace(tmp, marker)
 
 
 def _collect_queries(

@@ -62,12 +62,14 @@ def _encoding_list_array(enc: np.ndarray) -> pa.ListArray:
     )
 
 
-def _row_chunks(n: int, dim: int) -> Iterator[tuple[int, int]]:
-    """Slice [0, n) so each chunk's flat encoding buffer stays below the
-    int32 list-offset limit (2^31 values) — one mentions frame only ever
-    exceeds it at ~2M mentions × dim 1024, but the failure would be an
-    ArrowInvalid task error, so split instead."""
-    max_rows = max(1, ((1 << 31) - 1) // max(dim, 1))
+def _row_chunks(n: int, width: int) -> Iterator[tuple[int, int]]:
+    """Slice [0, n) so each chunk's flat list buffers stay below the int32
+    list-offset limit (2^31 values) — one mentions frame only ever exceeds
+    it at ~2M mentions × dim 1024, but the failure would be an ArrowInvalid
+    task error (or a silent int32 cumsum wrap in the candidates offsets),
+    so split instead.  ``width`` must be the WIDEST per-row list the caller
+    emits: max(dim, top_k) for the retrieve variant, dim for encode-only."""
+    max_rows = max(1, ((1 << 31) - 1) // max(width, 1))
     for s in range(0, n, max_rows):
         yield s, min(s + max_rows, n)
 
@@ -156,7 +158,7 @@ def detect_encode_retrieve(
             # straight from the flat (n, dim) matrix and the candidates
             # column from the kernel's flat top-k arrays — no per-row lists,
             # no per-candidate dicts (the last per-row Python on this path)
-            for s, e in _row_chunks(len(out), dim):
+            for s, e in _row_chunks(len(out), max(dim, k_cfg)):
                 o = out.iloc[s:e] if (s, e) != (0, len(out)) else out
                 yield pa.RecordBatch.from_arrays(
                     _base_arrays(o)

@@ -324,6 +324,11 @@ def run_batch(
             F.explode("mentions_id").alias("mention_id"), "cluster_label"
         )
     elif cluster_mode == "cc" and n_nil <= CC_FUSED_MAX:
+        # NOTE: with the default DRIVER_CLUSTER_MAX == CC_FUSED_MAX this
+        # branch is the gate-parity CONTROL ARM, reached only when tests
+        # force DRIVER_CLUSTER_MAX down (test_pipeline_e2e) or a deployment
+        # lowers the driver gate (e.g. a memory-constrained driver) — it is
+        # kept as the fused single-task path between the two gates.
         # small-batch fast path: edges+CC+summaries in one task per batch
         # (cluster_summarize_cc docstring); labels recovered by exploding
         # the member lists, exactly like the greedy_replay fused path
@@ -623,16 +628,17 @@ def run_incremental(
         # per-batch frames, frozen model, byte-deterministic
         if drained:
             missing = sorted(drained - existing_delta_batches(ann_model))
-            if missing and lake_rw is not None:
-                for b in missing:
-                    pdf = (
-                        lake_rw.filter(F.col("batch_id") == int(b))
-                        .drop("batch_id")
-                        .toPandas()
-                    )
-                    rows = _index_delta_pdf(pdf, b)
-                    if rows is not None:
-                        persist_delta(ann_model, spark, rows)
+            for b in missing:
+                pdf = (
+                    lake_rw.filter(F.col("batch_id") == int(b))
+                    .drop("batch_id")
+                    .toPandas()
+                    if lake_rw is not None
+                    else None
+                )
+                persist_delta(
+                    ann_model, spark, _index_delta_pdf(pdf, b), int(b)
+                )
 
     def _rw_state_df() -> DataFrame | None:
         """ANN modes: the RW entity table as a DataFrame — lake partitions
@@ -667,11 +673,13 @@ def run_incremental(
     def _drain(p) -> None:
         b_prev, bp_prev, extra, idx_rows = p
         stats = {**bp_prev.finish(), **extra}
-        if ann_model is not None and idx_rows is not None:
+        if ann_model is not None:
             # index delta BEFORE the lineage mark: a crash in between leaves
             # the batch unmarked, so the re-run overwrites the partition
-            # byte-identically (frozen model ⇒ deterministic assignment)
-            persist_delta(ann_model, spark, idx_rows)
+            # byte-identically (frozen model ⇒ deterministic assignment).
+            # Zero-entity batches commit a marker-only persist so resume
+            # never re-scans them.
+            persist_delta(ann_model, spark, idx_rows, int(b_prev))
         lake.mark_complete(int(b_prev), stats)
         drained.add(int(b_prev))  # its new_entities partition is now readable
         stats_rows.append({"batch_id": int(b_prev), **stats})

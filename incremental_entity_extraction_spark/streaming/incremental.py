@@ -118,19 +118,20 @@ def run_streaming_incremental(
                 )
                 return assign_delta(ann_model, keys, vecs, int(b))
 
-            # backfill deltas a pre-index lake (or a rebuild) is missing
+            # backfill deltas a pre-index lake (or a rebuild) is missing;
+            # marker-only persists for zero-entity batches keep this loop
+            # empty on later epochs
             missing = sorted(
                 {int(b) for b in done} - existing_delta_batches(ann_model)
             )
-            if missing and rw_df is not None:
-                for b in missing:
-                    rows = _delta_rows(
-                        rw_df.filter(F.col("batch_id") == int(b))
-                        .drop("batch_id").toPandas(),
-                        b,
-                    )
-                    if rows is not None:
-                        persist_delta(ann_model, spark, rows)
+            for b in missing:
+                pdf = (
+                    rw_df.filter(F.col("batch_id") == int(b))
+                    .drop("batch_id").toPandas()
+                    if rw_df is not None
+                    else None
+                )
+                persist_delta(ann_model, spark, _delta_rows(pdf, b), int(b))
 
         visible = sorted(int(b) for b in done)
         batch_ids = sorted(
@@ -156,9 +157,9 @@ def run_streaming_incremental(
             if ann:
                 # synchronous delta persist BEFORE the lineage mark — the
                 # same crash-window ordering as run_incremental._drain
-                rows = _delta_rows(add_pdf, int(b))
-                if rows is not None:
-                    persist_delta(ann_model, spark, rows)
+                persist_delta(
+                    ann_model, spark, _delta_rows(add_pdf, int(b)), int(b)
+                )
                 visible.append(int(b))
             if len(add_pdf):
                 rw_pdf = (

@@ -110,7 +110,7 @@ def test_delta_add_and_visibility(spark, built):
     assert all(top1[5000 + i] == 1000 + i for i in range(5))
 
     # persisted visibility: same result once the delta partition is written
-    persist_delta(model, spark, delta)
+    persist_delta(model, spark, delta, 0)
     assert existing_delta_batches(model) == {0}
     out2 = ann_index_search(
         model, spark, q, k=3, allowed_batches=[BASE_BATCH, 0],
@@ -125,7 +125,7 @@ def test_delta_add_and_visibility(spark, built):
     assert not set(out3["neighbor_id"]) & set(new_ids.tolist())
 
     # idempotent rewrite (dynamic overwrite of the same partition)
-    persist_delta(model, spark, delta)
+    persist_delta(model, spark, delta, 0)
     out4 = ann_index_search(
         model, spark, q, k=3, allowed_batches=[BASE_BATCH, 0],
     ).toPandas()
@@ -232,3 +232,64 @@ def test_cogroup_query_mode_matches_driver_mode(spark, built, embs, tmp_path):
     assert c[["query_id", "neighbor_id", "rank"]].equals(
         d[["query_id", "neighbor_id", "rank"]]
     )
+
+
+def test_content_fingerprint_triggers_rebuild(spark, embs, tmp_path):
+    """A same-count content change (one vector re-encoded in place) must
+    rebuild — a bare row-count fingerprint would silently serve the stale
+    index against changed vectors."""
+    path = str(tmp_path / "fp_idx")
+    build_ann_index(embs, path, mode="ivf", n_centroids=12, seed=11)
+
+    calls = []
+    orig = ai.kmeans_centroids
+    ai.kmeans_centroids = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        # unchanged corpus: loads, no retrain
+        ensure_ann_index(embs, path, mode="ivf", n_centroids=12)
+        assert calls == []
+        # one vector mutated, count unchanged: must rebuild
+        mutated = embs.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") == 0,
+                F.transform("embedding", lambda x: x + F.lit(1.0)),
+            ).otherwise(F.col("embedding")),
+        )
+        ensure_ann_index(mutated, path, mode="ivf", n_centroids=12)
+        assert calls == [1]
+    finally:
+        ai.kmeans_centroids = orig
+
+
+def test_n_probe_change_updates_model_without_rebuild(spark, embs, tmp_path):
+    """n_probe is a search-time knob the stored rows are independent of —
+    changing it must update the persisted model, not retrain + rewrite."""
+    path = str(tmp_path / "np_idx")
+    build_ann_index(embs, path, mode="ivf", n_centroids=12, n_probe=4, seed=11)
+
+    calls = []
+    orig = ai.kmeans_centroids
+    ai.kmeans_centroids = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        m = ensure_ann_index(embs, path, mode="ivf", n_centroids=12, n_probe=7)
+        assert calls == []
+        assert m.n_probe == 7
+        assert load_ann_index(path).n_probe == 7  # persisted, not just in-memory
+    finally:
+        ai.kmeans_centroids = orig
+
+
+def test_empty_delta_commits_marker_only(spark, embs, tmp_path):
+    """A zero-entity batch persists a marker (so resume backfill never
+    re-scans it) but no partition directory."""
+    import os
+
+    path = str(tmp_path / "mk_idx")
+    model = build_ann_index(embs, path, mode="ivf", n_centroids=12, seed=11)
+    persist_delta(model, spark, None, 7)
+    assert existing_delta_batches(model) == {7}
+    assert not os.path.isdir(os.path.join(model.rows_path, "added_batch=7"))
+    # a rebuild wipes the markers along with the rows (deltas invalidated)
+    build_ann_index(embs, path, mode="ivf", n_centroids=12, seed=11)
+    assert existing_delta_batches(model) == set()
