@@ -55,7 +55,8 @@ def main() -> None:
         "every batch into a single pass — one RW state, one lineage row",
     )
     p.add_argument(
-        "--retrieval-mode", default="broadcast", choices=["broadcast", "ivf"],
+        "--retrieval-mode", default="broadcast",
+        choices=["broadcast", "ivf", "ivf_pq"],
         help="'ivf' keeps the KB distributed (no broadcast) — for entity "
         "dimensions beyond executor memory; approximate recall",
     )
