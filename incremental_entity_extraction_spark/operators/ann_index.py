@@ -141,17 +141,24 @@ def _save_model(m: AnnIndexModel) -> None:
 def _corpus_stats(cvec: DataFrame) -> tuple[int, int]:
     """(row count, order-independent content fingerprint) in ONE scan.
 
-    bit_xor of xxhash64(id, vec) catches what a bare count cannot: an
-    in-place re-encode, or one entity replaced by another with the count
-    unchanged — either would otherwise let ``ensure_ann_index`` serve a
-    stale index against changed vectors.  xor is commutative, so the value
-    is partitioning- and order-invariant."""
+    A content hash catches what a bare count cannot: an in-place
+    re-encode, or one entity replaced by another with the count unchanged
+    — either would otherwise let ``ensure_ann_index`` serve a stale index
+    against changed vectors.  The combiner is SUM of per-row
+    xxhash64(id, vec), taken mod 2^64 (accumulated in decimal so it never
+    overflows): commutative (partitioning/order-invariant) like xor but
+    WITHOUT xor's pair-cancellation — with bit_xor, replacing a
+    duplicated row pair (A, A) by (D, D) left the fingerprint unchanged
+    (h^h = 0 on both sides)."""
     row = cvec.agg(
         F.count("*").alias("n"),
-        F.expr("bit_xor(xxhash64(id, vec))").alias("fp"),
+        F.sum(
+            F.xxhash64("id", "vec").cast(T.DecimalType(38, 0))
+        ).alias("fp"),
     ).first()
     n = int(row["n"])
-    return n, int(row["fp"]) if row["fp"] is not None else 0
+    fp = int(row["fp"]) % (1 << 64) if row["fp"] is not None else 0
+    return n, fp
 
 
 def load_ann_index(path: str) -> AnnIndexModel | None:
@@ -208,6 +215,7 @@ def build_ann_index(
     train_size: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _stats: tuple[int, int] | None = None,
 ) -> AnnIndexModel:
     """Train once, bucket/encode the corpus once, persist rows + model.
 
@@ -221,7 +229,9 @@ def build_ann_index(
     if mode not in ("ivf", "ivf_pq"):
         raise ValueError(f"unknown ann index mode {mode!r}: ivf | ivf_pq")
     cvec = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    n, fp = _corpus_stats(cvec)
+    # _stats: (n, fp) precomputed by ensure_ann_index so a
+    # fingerprint-mismatch rebuild does not re-scan the corpus a second time
+    n, fp = _stats if _stats is not None else _corpus_stats(cvec)
     if n == 0:
         raise ValueError("build_ann_index: empty corpus")
     n_centroids, n_probe = _derive_ivf_params(n, n_centroids, n_probe)
@@ -313,11 +323,13 @@ def ensure_ann_index(
     value just updates the persisted model instead of forcing a full
     retrain + corpus rewrite."""
     existing = load_ann_index(path)
+    stats = None
     if existing is not None and existing.mode == mode and existing.seed == seed:
         cvec = corpus.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         )
-        n, fp = _corpus_stats(cvec)
+        stats = _corpus_stats(cvec)
+        n, fp = stats
         want_c, want_p = _derive_ivf_params(n, n_centroids, n_probe)
         if (
             existing.n_corpus == n
@@ -332,7 +344,7 @@ def ensure_ann_index(
     return build_ann_index(
         corpus, path, mode=mode, n_centroids=n_centroids, n_probe=n_probe,
         m_subvectors=m_subvectors, seed=seed, train_size=train_size,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, _stats=stats,
     )
 
 
@@ -410,6 +422,66 @@ def persist_delta(
     with open(tmp, "w") as f:
         f.write("")
     os.replace(tmp, marker)
+
+
+def rw_delta_rows(
+    model: AnnIndexModel,
+    add_pdf: pd.DataFrame | None,
+    batch_id: int,
+    rw_indexer_id: int,
+) -> pd.DataFrame | None:
+    """A batch's RW delta (``new_entities`` rows: id, embedding, ...) ->
+    index rows under the FROZEN model (FAISS ``add``), with the pipeline's
+    composite (indexer, id) key.  Deleted RW ids keep their index rows;
+    they can surface as neighbor ids but drop at metadata hydration
+    (inner join) — the same net semantics as the reference's dummy-score
+    sentinel for vector-without-metadata (indexer/main.py:121-135)."""
+    from incremental_entity_extraction_spark.operators.retrieval_ann import (
+        composite_keys_np,
+    )
+
+    if add_pdf is None or not len(add_pdf):
+        return None
+    keys = composite_keys_np(
+        add_pdf["id"].to_numpy(),
+        np.full(len(add_pdf), rw_indexer_id, dtype=np.int64),
+    )
+    vecs = np.stack([np.asarray(v, np.float32) for v in add_pdf["embedding"]])
+    return assign_delta(model, keys, vecs, int(batch_id))
+
+
+def backfill_missing_deltas(
+    model: AnnIndexModel,
+    spark: SparkSession,
+    rw_df: DataFrame | None,
+    batch_ids,
+    rw_indexer_id: int,
+) -> None:
+    """Persist index deltas (and their commit markers) for completed
+    batches that lack one — a lake written by a pre-index code version, or
+    a fingerprint-change rebuild that wiped the rows table.  Shared by the
+    batch and streaming drivers so the two stay in lockstep.
+
+    When ``rw_df`` is None (the ``new_entities`` table is unreadable),
+    NOTHING is persisted — markers included: the table may be absent
+    because it is a partially-restored lake, and recording "delta
+    complete: nothing" would permanently mask the entities once the table
+    reappears.  Re-checking an empty ``missing`` set per run costs one
+    directory listing."""
+    missing = sorted(
+        {int(b) for b in batch_ids} - existing_delta_batches(model)
+    )
+    if not missing or rw_df is None:
+        return
+    for b in missing:
+        pdf = (
+            rw_df.filter(F.col("batch_id") == int(b))
+            .drop("batch_id")
+            .toPandas()
+        )
+        persist_delta(
+            model, spark, rw_delta_rows(model, pdf, b, rw_indexer_id), b
+        )
 
 
 def _collect_queries(

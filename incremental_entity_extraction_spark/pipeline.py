@@ -583,18 +583,15 @@ def run_incremental(
     ann_model = None
     ann_inflight: pd.DataFrame | None = None  # in-flight delta index rows
     if ann:
-        import numpy as np
-
         from incremental_entity_extraction_spark.operators.ann_index import (
             BASE_BATCH,
-            assign_delta,
+            backfill_missing_deltas,
             ensure_ann_index,
-            existing_delta_batches,
             persist_delta,
+            rw_delta_rows,
         )
         from incremental_entity_extraction_spark.operators.retrieval_ann import (
             composite_corpus,
-            composite_keys_np,
         )
 
         # trained/bucketed ONCE per (corpus, params); a resume run loads the
@@ -604,41 +601,14 @@ def run_incremental(
             lake.path("ann_index"),
             mode=retrieval_mode,
         )
-
-        def _index_delta_pdf(add_pdf: pd.DataFrame, batch_id: int):
-            """RW delta rows -> index rows under the FROZEN model (FAISS
-            ``add``).  Deleted RW ids keep their index rows; they can
-            surface as neighbor ids but drop at metadata hydration (inner
-            join) — the same net semantics as the reference's dummy-score
-            sentinel for vector-without-metadata (indexer/main.py:121-135)."""
-            if add_pdf is None or not len(add_pdf):
-                return None
-            keys = composite_keys_np(
-                add_pdf["id"].to_numpy(),
-                np.full(len(add_pdf), cfg.rw_indexer_id, dtype=np.int64),
-            )
-            vecs = np.stack(
-                [np.asarray(v, np.float32) for v in add_pdf["embedding"]]
-            )
-            return assign_delta(ann_model, keys, vecs, int(batch_id))
-
-        # backfill: drained batches whose delta partition is missing (a lake
+        # backfill: drained batches whose delta commit is missing (a lake
         # written by a pre-index version, or a fingerprint-change rebuild
         # that wiped the rows dir) are re-assigned from new_entities — tiny
         # per-batch frames, frozen model, byte-deterministic
         if drained:
-            missing = sorted(drained - existing_delta_batches(ann_model))
-            for b in missing:
-                pdf = (
-                    lake_rw.filter(F.col("batch_id") == int(b))
-                    .drop("batch_id")
-                    .toPandas()
-                    if lake_rw is not None
-                    else None
-                )
-                persist_delta(
-                    ann_model, spark, _index_delta_pdf(pdf, b), int(b)
-                )
+            backfill_missing_deltas(
+                ann_model, spark, lake_rw, drained, cfg.rw_indexer_id
+            )
 
     def _rw_state_df() -> DataFrame | None:
         """ANN modes: the RW entity table as a DataFrame — lake partitions
@@ -714,7 +684,9 @@ def run_incremental(
                 # keep only this batch's delta in memory; older batches are
                 # read back from the lake once their writes drain
                 last_delta_pdf = add_pdf
-                ann_inflight = _index_delta_pdf(add_pdf, int(b))
+                ann_inflight = rw_delta_rows(
+                    ann_model, add_pdf, int(b), cfg.rw_indexer_id
+                )
                 if len(add_pdf):
                     next_rw_id = max(next_rw_id, int(add_pdf["id"].max()) + 1)
             elif len(add_pdf):

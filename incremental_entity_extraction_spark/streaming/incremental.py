@@ -62,8 +62,6 @@ def run_streaming_incremental(
 
     def _process(batch_df, epoch_id: int) -> None:
         nonlocal ann_model
-        import numpy as np
-
         # state snapshot from the lake (epoch-safe resume)
         done = lake.completed_batches()
         rw_df = lake.read(spark, "new_entities")
@@ -98,40 +96,17 @@ def run_streaming_incremental(
         if ann:
             from incremental_entity_extraction_spark.operators.ann_index import (
                 BASE_BATCH,
-                assign_delta,
-                existing_delta_batches,
+                backfill_missing_deltas,
                 persist_delta,
+                rw_delta_rows,
             )
-            from incremental_entity_extraction_spark.operators.retrieval_ann import (
-                composite_keys_np,
-            )
-
-            def _delta_rows(pdf: pd.DataFrame, b: int):
-                if pdf is None or not len(pdf):
-                    return None
-                keys = composite_keys_np(
-                    pdf["id"].to_numpy(),
-                    np.full(len(pdf), cfg.rw_indexer_id, dtype=np.int64),
-                )
-                vecs = np.stack(
-                    [np.asarray(v, np.float32) for v in pdf["embedding"]]
-                )
-                return assign_delta(ann_model, keys, vecs, int(b))
 
             # backfill deltas a pre-index lake (or a rebuild) is missing;
             # marker-only persists for zero-entity batches keep this loop
-            # empty on later epochs
-            missing = sorted(
-                {int(b) for b in done} - existing_delta_batches(ann_model)
+            # empty on later epochs (shared helper — batch driver parity)
+            backfill_missing_deltas(
+                ann_model, spark, rw_df, done, cfg.rw_indexer_id
             )
-            for b in missing:
-                pdf = (
-                    rw_df.filter(F.col("batch_id") == int(b))
-                    .drop("batch_id").toPandas()
-                    if rw_df is not None
-                    else None
-                )
-                persist_delta(ann_model, spark, _delta_rows(pdf, b), int(b))
 
         visible = sorted(int(b) for b in done)
         batch_ids = sorted(
@@ -158,7 +133,9 @@ def run_streaming_incremental(
                 # synchronous delta persist BEFORE the lineage mark — the
                 # same crash-window ordering as run_incremental._drain
                 persist_delta(
-                    ann_model, spark, _delta_rows(add_pdf, int(b)), int(b)
+                    ann_model, spark,
+                    rw_delta_rows(ann_model, add_pdf, int(b), cfg.rw_indexer_id),
+                    int(b),
                 )
                 visible.append(int(b))
             if len(add_pdf):

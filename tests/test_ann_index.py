@@ -248,12 +248,18 @@ def test_content_fingerprint_triggers_rebuild(spark, embs, tmp_path):
         # unchanged corpus: loads, no retrain
         ensure_ann_index(embs, path, mode="ivf", n_centroids=12)
         assert calls == []
-        # one vector mutated, count unchanged: must rebuild
+        # one vector mutated, count unchanged: must rebuild.  The mutated
+        # branch is cast back to array<float> — otherwise when/otherwise
+        # type-unifies the WHOLE column to array<double>, every row's hash
+        # changes, and the test would pass even for a fingerprint blind to
+        # single-row edits
         mutated = embs.withColumn(
             "embedding",
             F.when(
                 F.col("vec_id") == 0,
-                F.transform("embedding", lambda x: x + F.lit(1.0)),
+                F.transform("embedding", lambda x: x + F.lit(1.0)).cast(
+                    "array<float>"
+                ),
             ).otherwise(F.col("embedding")),
         )
         ensure_ann_index(mutated, path, mode="ivf", n_centroids=12)
