@@ -738,10 +738,9 @@ def _search_cogroup(
     bc_C = spark.sparkContext.broadcast(model.centroids)
     bc_books = spark.sparkContext.broadcast(model.books)
     queries_b = _bucketed_queries(queries, id_col, vec_col, bc_C, npb)
-    rows = _read_rows(
-        model, spark, list(range(model.centroids.shape[0])),
-        allowed_batches, extra_rows,
-    )
+    # probed=None: an unbounded query set probes essentially every bucket,
+    # so no bucket filter (a 4096-literal isin would only bloat the plan)
+    rows = _read_rows(model, spark, None, allowed_batches, extra_rows)
 
     score_name = "pq_score" if pq else "cosine"
     local_schema = T.StructType(
@@ -802,21 +801,27 @@ def _search_cogroup(
 def _read_rows(
     model: AnnIndexModel,
     spark: SparkSession,
-    probed: list[int],
+    probed: list[int] | None,
     allowed_batches: list[int] | None,
     extra_rows: pd.DataFrame | None,
 ) -> DataFrame:
-    """The scan side: persisted partitions (pruned to probed buckets and,
-    when given, to drained ``added_batch`` values) ∪ the in-flight delta."""
+    """The scan side: persisted partitions (pruned to probed buckets —
+    ``None`` means all — and, when given, to drained ``added_batch``
+    values) ∪ the in-flight delta."""
     data_col = "code" if model.mode == "ivf_pq" else "vecn"
     schema = _ROWS_SCHEMA_PQ if model.mode == "ivf_pq" else _ROWS_SCHEMA_IVF
     rows = spark.read.schema(schema).parquet(model.rows_path)
-    rows = rows.filter(F.col("bucket").isin(probed))
+    if probed is not None:
+        rows = rows.filter(F.col("bucket").isin(probed))
     if allowed_batches is not None:
         rows = rows.filter(F.col("added_batch").isin(list(allowed_batches)))
     rows = rows.select("bucket", "id", data_col)
     if extra_rows is not None and len(extra_rows):
-        keep = extra_rows[extra_rows["bucket"].isin(probed)]
+        keep = (
+            extra_rows[extra_rows["bucket"].isin(probed)]
+            if probed is not None
+            else extra_rows
+        )
         if len(keep):
             extra_df = spark.createDataFrame(
                 keep[["bucket", "id", data_col]],

@@ -65,20 +65,38 @@ def run_streaming_incremental(
         # state snapshot from the lake (epoch-safe resume)
         done = lake.completed_batches()
         rw_df = lake.read(spark, "new_entities")
-        if rw_df is not None and done:
+        empty_rw = pd.DataFrame(
+            columns=[
+                "id", "indexer", "wikipedia_id", "title", "descr", "type_",
+                "embedding",
+            ]
+        )
+        if ann:
+            # ANN modes exist for the beyond-broadcast regime: RW state must
+            # not accrete in driver memory (batch-driver parity).  The
+            # driver keeps only next_rw_id; each batch's KB union reads the
+            # visible new_entities partitions back as a DataFrame —
+            # persist_batch is synchronous here, so a batch's partition is
+            # readable before the next batch runs.
+            rw_pdf = empty_rw
+            next_rw_id = 0
+            if rw_df is not None and done:
+                mx = (
+                    rw_df.filter(
+                        F.col("batch_id").isin([int(b) for b in done])
+                    ).agg(F.max("id")).first()[0]
+                )
+                next_rw_id = int(mx) + 1 if mx is not None else 0
+        elif rw_df is not None and done:
             rw_pdf = (
                 rw_df.filter(F.col("batch_id").isin([int(b) for b in done]))
                 .drop("batch_id")
                 .toPandas()
             )
+            next_rw_id = int(rw_pdf["id"].max()) + 1 if len(rw_pdf) else 0
         else:
-            rw_pdf = pd.DataFrame(
-                columns=[
-                    "id", "indexer", "wikipedia_id", "title", "descr", "type_",
-                    "embedding",
-                ]
-            )
-        next_rw_id = int(rw_pdf["id"].max()) + 1 if len(rw_pdf) else 0
+            rw_pdf = empty_rw
+            next_rw_id = 0
 
         if ann and ann_model is None:
             from incremental_entity_extraction_spark.operators.ann_index import (
@@ -109,6 +127,17 @@ def run_streaming_incremental(
             )
 
         visible = sorted(int(b) for b in done)
+
+        def _rw_state_df():
+            """ANN modes: visible new_entities partitions as a DataFrame —
+            re-read per batch so driver memory stays O(1)."""
+            if not ann or not visible:
+                return None
+            cur = lake.read(spark, "new_entities")
+            if cur is None:
+                return None
+            return cur.filter(F.col("batch_id").isin(visible)).drop("batch_id")
+
         batch_ids = sorted(
             r["batch_id"]
             for r in batch_df.select("batch_id").distinct().collect()
@@ -119,7 +148,7 @@ def run_streaming_incremental(
             tb = batch_df.filter(F.col("batch_id") == int(b))
             nil_scored, clusters_with_ids, new_entities, triples = run_batch(
                 tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words,
-                encoder, retrieval_mode, kb_ro,
+                encoder, retrieval_mode, kb_ro, rw_df=_rw_state_df(),
                 ann_model=ann_model,
                 ann_allowed_batches=(
                     [BASE_BATCH] + visible if ann_model is not None else None
@@ -138,7 +167,9 @@ def run_streaming_incremental(
                     int(b),
                 )
                 visible.append(int(b))
-            if len(add_pdf):
+                if len(add_pdf):
+                    next_rw_id = max(next_rw_id, int(add_pdf["id"].max()) + 1)
+            elif len(add_pdf):
                 rw_pdf = (
                     pd.concat([rw_pdf, add_pdf], ignore_index=True)
                     if len(rw_pdf)
