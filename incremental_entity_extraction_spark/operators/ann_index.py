@@ -106,6 +106,8 @@ class AnnIndexModel:
     seed: int
     n_corpus: int              # build-time corpus rows (cache-validation key)
     corpus_fp: int = 0         # order-independent content fingerprint
+    train_size: int = 0        # training-sample budget the model was built at
+    m_subvectors: int = 0      # resolved PQ subspace count (0 for mode='ivf')
 
     @property
     def rows_path(self) -> str:
@@ -127,6 +129,8 @@ def _save_model(m: AnnIndexModel) -> None:
         "seed": int(m.seed),
         "n_corpus": int(m.n_corpus),
         "corpus_fp": int(m.corpus_fp),
+        "train_size": int(m.train_size),
+        "m_subvectors": int(m.m_subvectors),
     }
     with open(tmp, "wb") as f:
         np.savez(
@@ -179,6 +183,10 @@ def load_ann_index(path: str) -> AnnIndexModel | None:
                 seed=int(meta["seed"]),
                 n_corpus=int(meta["n_corpus"]),
                 corpus_fp=int(meta.get("corpus_fp", 0)),
+                # legacy models (pre round-6) lack these; 0 ⇒ reuse-check
+                # mismatch ⇒ rebuild — the safe direction
+                train_size=int(meta.get("train_size", 0)),
+                m_subvectors=int(meta.get("m_subvectors", 0)),
             )
     except Exception:
         return None
@@ -246,6 +254,8 @@ def build_ann_index(
     model = AnnIndexModel(
         path=path, mode=mode, centroids=C, books=books,
         n_probe=n_probe, seed=seed, n_corpus=n, corpus_fp=fp,
+        train_size=train_size,
+        m_subvectors=int(books.shape[0]) if books is not None else 0,
     )
 
     spark = corpus.sparkSession
@@ -313,9 +323,11 @@ def ensure_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> AnnIndexModel:
-    """Load the persisted index when its (mode, seed, corpus count+content
-    fingerprint) matches, else (re)build.  The fingerprint is one combined
-    count + bit_xor-of-xxhash64 scan (``_corpus_stats``) — the same cost
+    """Load the persisted index when its (mode, seed, geometry, corpus
+    count+content fingerprint) matches, else (re)build.  The fingerprint is
+    one combined count + SUM-of-xxhash64 (mod 2^64) scan (``_corpus_stats``
+    — sum, NOT bit_xor, deliberately: xor's pair-cancellation lets a
+    duplicated row pair swap pass unseen; rationale there) — the same cost
     class as a count, but it also catches in-place re-encodes and
     same-count entity swaps, which a bare count would silently serve stale
     results for.  ``n_probe`` is NOT part of the fingerprint: it is a pure
@@ -331,8 +343,19 @@ def ensure_ann_index(
         stats = _corpus_stats(cvec)
         n, fp = stats
         want_c, want_p = _derive_ivf_params(n, n_centroids, n_probe)
+        # geometry/budget must match what THIS caller asked for, not just
+        # what some earlier build used: a reused ivf_pq index with a
+        # different subspace count or training-sample budget would return
+        # exact re-ranked scores (hiding the mismatch) with the recall
+        # characteristics of the OLD geometry
+        geom_ok = existing.train_size == train_size and (
+            mode != "ivf_pq"
+            or existing.m_subvectors
+            == _pq_subdims(existing.centroids.shape[1], m_subvectors)
+        )
         if (
-            existing.n_corpus == n
+            geom_ok
+            and existing.n_corpus == n
             and existing.corpus_fp == fp
             and existing.centroids.shape[0] == min(want_c, n)
             and os.path.isdir(existing.rows_path)

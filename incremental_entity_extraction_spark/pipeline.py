@@ -254,6 +254,22 @@ def run_batch(
             kb_df = kb_df.unionByName(
                 spark.createDataFrame(rw_pdf[kb_cols])
             )
+            if ann_model is not None and ann_extra_rows is None:
+                # direct-caller guard: rw_pdf entities are in kb_df METADATA
+                # but absent from the persisted index — without index rows
+                # they could never surface as candidates (silent recall
+                # hole).  Assign them under the frozen model as the
+                # in-flight delta; the added_batch tag (0) is in-memory only
+                # (_read_rows never consults it), nothing is persisted.
+                # run_incremental never hits this: it threads rw_df +
+                # ann_extra_rows explicitly.
+                from incremental_entity_extraction_spark.operators.ann_index import (  # noqa: E501
+                    rw_delta_rows,
+                )
+
+                ann_extra_rows = rw_delta_rows(
+                    ann_model, rw_pdf, 0, cfg.rw_indexer_id
+                )
         # one fused detect+encode hop (not two chained mapInPandas), then
         # the distributed ANN scan — the KB is never collected or broadcast.
         # Checkpointed because the enriched plan references it twice (the
