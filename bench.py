@@ -10,11 +10,15 @@ position equally often; an odd count would hand the second-position warm
 cache to one engine in the majority of reps) in cluster_mode='cc' — the
 scale-path engine, which is also the fastest;
 ``greedy_turns_per_sec`` reports the reference-exact engine beside it for
-round-over-round comparability.  Every sample records /proc/loadavg so a
-reviewer can separate engine changes from co-tenant noise (single-sample
-artifacts caused a phantom 17% "regression" between rounds 2 and 3).  The
-``queries`` dict adds per-query wall times for the heavier relational /
-dedup / vector queries.
+round-over-round comparability.  Every sample records /proc/loadavg AND is
+LOAD-GATED: the harness waits (bounded; retry trail recorded per sample)
+for the 1-min load to drop under ``SPARK_GRAFT_LOAD_GATE`` (default 2.0)
+before sampling, so a committed artifact is quiet-host by construction —
+rounds 2-5 each re-litigated phantom regressions that per-sample load
+fields later attributed to co-tenant noise.  The ``queries`` dict adds
+per-query wall times for the heavier relational / dedup / vector queries;
+queries with a one-time setup cost (ANN index build, CoNLL fixture) report
+steady-state under their own name and the cold first call as ``*_cold``.
 
 Scaling evidence (BASELINE.md / north_rule): ``python bench.py --scaling``
 generates a large deterministic transcript world with the *distributed*
@@ -80,6 +84,56 @@ def _loadavg() -> list[float]:
             return [float(x) for x in f.read().split()[:3]]
     except OSError:
         return []
+
+
+# ---- load gate ----------------------------------------------------------
+# A headline/scaling sample whose start 1-min load exceeds the bound is NOT
+# taken: the harness sleeps until the host quiets (recording the retry
+# trail) instead of committing a contaminated number.  Rounds 2-5 each
+# re-litigated a phantom regression that per-sample load fields later
+# attributed to co-tenant noise; the gate settles it by construction.  The
+# wait is bounded per sample AND globally so a permanently-busy host still
+# produces an artifact — one whose samples carry ``passed: false`` and
+# self-describe as contaminated.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+LOAD_GATE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_TIMEOUT", "300"))
+LOAD_GATE_BUDGET = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_BUDGET", "900"))
+_LOAD_POLL_S = 10.0
+_gate_spent = 0.0  # cumulative seconds slept across all gates this run
+
+
+def _await_quiet(tag: str) -> dict:
+    """Block until the 1-min load drops under ``LOAD_GATE``; return the
+    gate record (bound, pass/fail, seconds waited, load trail).  A 1-min
+    loadavg decays as e^(-t/60), so self-load from the previous sample
+    clears in ~60·ln(L/gate) s; sustained co-tenant load instead exhausts
+    the per-sample timeout (or the global budget) and the sample is taken
+    anyway but marked ``passed: false``."""
+    global _gate_spent
+    trail: list[float] = []
+    t0 = time.time()
+    while True:
+        la = _loadavg()
+        cur = la[0] if la else 0.0
+        trail.append(cur)
+        waited = time.time() - t0
+        if cur < LOAD_GATE or LOAD_GATE <= 0:
+            _gate_spent += waited
+            return {
+                "tag": tag, "passed": True, "load1": cur,
+                "waited_s": round(waited, 1), "trail": trail,
+            }
+        if waited >= LOAD_GATE_TIMEOUT or _gate_spent + waited >= LOAD_GATE_BUDGET:
+            _gate_spent += waited
+            return {
+                "tag": tag, "passed": False, "load1": cur,
+                "waited_s": round(waited, 1), "trail": trail,
+                "reason": (
+                    "global_budget" if _gate_spent >= LOAD_GATE_BUDGET
+                    else "sample_timeout"
+                ),
+            }
+        time.sleep(_LOAD_POLL_S)
 
 
 def run_documents_pipeline(
@@ -197,11 +251,21 @@ def main() -> None:
             per_mode = {}
             for mode in modes:
                 walls = {}
+                rep_detail = []
                 for cores in (n_small, n_big):
-                    walls[cores] = min(
-                        run_scaling_pipeline(cores, t_path, kb_path, mode)
-                        for _ in range(reps)
-                    )  # best-of-N: minimizes shared-host noise
+                    # best-of-N minimizes shared-host noise; each rep is
+                    # load-gated (the r5 8-batch leg read 0.67 at load 8 vs
+                    # 0.77 quiet — gating makes that class of leg un-takeable)
+                    ws = []
+                    for ri in range(reps):
+                        gate = _await_quiet(f"{mode}-c{cores}-rep{ri}")
+                        w = run_scaling_pipeline(cores, t_path, kb_path, mode)
+                        ws.append(w)
+                        rep_detail.append(
+                            {"cores": cores, "rep": ri,
+                             "wall_s": round(w, 2), "load_gate": gate}
+                        )
+                    walls[cores] = min(ws)
                 thr = {c: n_turns / w for c, w in walls.items()}
                 per_mode[mode] = {
                     "efficiency": round(
@@ -211,6 +275,7 @@ def main() -> None:
                         str(c): round(v, 2) for c, v in thr.items()
                     },
                     "wall_s": {str(c): round(w, 2) for c, w in walls.items()},
+                    "reps_detail": rep_detail,
                 }
             head = per_mode[modes[0]]
             print(
@@ -228,6 +293,16 @@ def main() -> None:
                         "n_turns": n_turns,
                         "cores": [n_small, n_big],
                         "host_load": {"start": load0, "end": _loadavg()},
+                        "load_gate": {
+                            "bound": LOAD_GATE,
+                            "timeout_s": LOAD_GATE_TIMEOUT,
+                            "budget_s": LOAD_GATE_BUDGET,
+                            "all_passed": all(
+                                rd["load_gate"]["passed"]
+                                for pm in per_mode.values()
+                                for rd in pm["reps_detail"]
+                            ),
+                        },
                         "world": {
                             "n_convs": BENCH_CONVS,
                             "hot_turns": BENCH_HOT,
@@ -268,7 +343,12 @@ def main() -> None:
         # the comparison (r3 ran greedy first, this round's first draft ran
         # cc first — the apparent engine flip between them was this bias)
         order = ("cc", "greedy_replay") if i % 2 else ("greedy_replay", "cc")
-        s = {"host_load_start": _loadavg(), "order": list(order)}
+        gate = _await_quiet(f"sample{i}")
+        s = {
+            "host_load_start": _loadavg(),
+            "order": list(order),
+            "load_gate": gate,
+        }
         for mode in order:
             wall, n_turns, n_triples = run_documents_pipeline(
                 CPUS, SF_DIR, cluster_mode=mode
@@ -290,10 +370,25 @@ def main() -> None:
         "kg_pipeline": round(_median(g_walls), 3),
         "kg_pipeline_cc": round(_median(cc_walls), 3),
     }
+    # queries whose first call pays a ONE-TIME cost (ANN index build,
+    # CoNLL fixture serialization) that is NOT the operator's steady-state
+    # cost: time the first call as `<name>_cold` and a second call — warm
+    # fixture / persisted index — as the headline `<name>`, so the
+    # round-over-round comparison tracks the operator, not the setup
+    warm_split = {"q37_conll_scan", "q50_ann_index"}
+    q_gate = _await_quiet("queries")
     for name in BENCH_QUERIES:
         t0 = time.time()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        q_times[name] = round(time.time() - t0, 3)
+        wall = round(time.time() - t0, 3)
+        if name in warm_split:
+            q_times[f"{name}_cold"] = wall
+            t0 = time.time()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall = round(time.time() - t0, 3)
+        q_times[name] = wall
     spark.stop()
 
     print(
@@ -316,6 +411,16 @@ def main() -> None:
                 "n_triples": n_triples,
                 "cores": CPUS,
                 "host_load": {"start": load0, "end": _loadavg()},
+                "load_gate": {
+                    "bound": LOAD_GATE,
+                    "timeout_s": LOAD_GATE_TIMEOUT,
+                    "budget_s": LOAD_GATE_BUDGET,
+                    "all_passed": all(
+                        s["load_gate"]["passed"] for s in samples
+                    )
+                    and q_gate["passed"],
+                    "queries_gate": q_gate,
+                },
             }
         )
     )
