@@ -108,6 +108,7 @@ class AnnIndexModel:
     corpus_fp: int = 0         # order-independent content fingerprint
     train_size: int = 0        # training-sample budget the model was built at
     m_subvectors: int = 0      # resolved PQ subspace count (0 for mode='ivf')
+    n_delta_at_build: int = 0  # delta rows folded into training at build time
 
     @property
     def rows_path(self) -> str:
@@ -131,6 +132,7 @@ def _save_model(m: AnnIndexModel) -> None:
         "corpus_fp": int(m.corpus_fp),
         "train_size": int(m.train_size),
         "m_subvectors": int(m.m_subvectors),
+        "n_delta_at_build": int(m.n_delta_at_build),
     }
     with open(tmp, "wb") as f:
         np.savez(
@@ -187,6 +189,7 @@ def load_ann_index(path: str) -> AnnIndexModel | None:
                 # mismatch ⇒ rebuild — the safe direction
                 train_size=int(meta.get("train_size", 0)),
                 m_subvectors=int(meta.get("m_subvectors", 0)),
+                n_delta_at_build=int(meta.get("n_delta_at_build", 0)),
             )
     except Exception:
         return None
@@ -223,6 +226,7 @@ def build_ann_index(
     train_size: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_extra: DataFrame | None = None,
     _stats: tuple[int, int] | None = None,
 ) -> AnnIndexModel:
     """Train once, bucket/encode the corpus once, persist rows + model.
@@ -233,7 +237,18 @@ def build_ann_index(
     each bucket dir holds one file-set.  Same parameter derivation, seeding
     and k-means as the per-call engines (``_derive_ivf_params`` /
     ``kmeans_centroids`` are shared code), so a prebuilt index returns the
-    same buckets as ``ivf_topk`` at the same seed."""
+    same buckets as ``ivf_topk`` at the same seed.
+
+    ``train_extra`` (same id/vec columns as ``corpus``) folds accreted
+    delta vectors into the k-means TRAINING sample only — persisted base
+    rows stay corpus-only, so the base/delta bookkeeping (and the
+    backfill that re-adds deltas under the new model) is undisturbed.
+    This is the drift-rebuild half of ``rebuild_threshold`` (see
+    ``ensure_ann_index``) and deliberately EXCEEDS the reference, whose
+    FAISS ``add`` keeps build-time centroids forever
+    (faiss_indexer.py:34-43): a drifting stream there loses recall
+    silently.  The model records ``n_delta_at_build`` so the threshold
+    measures deltas accreted SINCE the training set last saw them."""
     if mode not in ("ivf", "ivf_pq"):
         raise ValueError(f"unknown ann index mode {mode!r}: ivf | ivf_pq")
     cvec = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -243,7 +258,16 @@ def build_ann_index(
     if n == 0:
         raise ValueError("build_ann_index: empty corpus")
     n_centroids, n_probe = _derive_ivf_params(n, n_centroids, n_probe)
-    X = _coarse_sample(cvec, n, train_size, seed)
+    n_extra = 0
+    train_vec = cvec
+    if train_extra is not None:
+        evec = train_extra.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        n_extra = evec.count()
+        if n_extra:
+            train_vec = cvec.unionByName(evec)
+    X = _coarse_sample(train_vec, n + n_extra, train_size, seed)
     C = kmeans_centroids(X, n_centroids, seed=seed)
     books = None
     if mode == "ivf_pq":
@@ -256,6 +280,7 @@ def build_ann_index(
         n_probe=n_probe, seed=seed, n_corpus=n, corpus_fp=fp,
         train_size=train_size,
         m_subvectors=int(books.shape[0]) if books is not None else 0,
+        n_delta_at_build=int(n_extra),
     )
 
     spark = corpus.sparkSession
@@ -322,6 +347,8 @@ def ensure_ann_index(
     train_size: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rebuild_threshold: float | None = None,
+    delta_corpus: DataFrame | None = None,
 ) -> AnnIndexModel:
     """Load the persisted index when its (mode, seed, geometry, corpus
     count+content fingerprint) matches, else (re)build.  The fingerprint is
@@ -333,7 +360,25 @@ def ensure_ann_index(
     results for.  ``n_probe`` is NOT part of the fingerprint: it is a pure
     search-time knob the stored rows are independent of, so a changed
     value just updates the persisted model instead of forcing a full
-    retrain + corpus rewrite."""
+    retrain + corpus rewrite.
+
+    ``rebuild_threshold`` is the drift knob FAISS lacks: deltas are
+    assigned under FROZEN build-time centroids (``assign_delta``,
+    faiss_indexer.py:34-43 shares the property), so a stream whose
+    distribution drifts away from the build-time corpus silently loses
+    recall as deltas accrete.  When the ratio of deltas accreted SINCE the
+    model last trained (persisted delta rows − ``n_delta_at_build``) to
+    the rows the training last saw (base + ``n_delta_at_build``) exceeds
+    the threshold, the index is rebuilt ONCE with ``delta_corpus`` (the
+    accreted delta vectors, same id/vec columns as ``corpus``) folded into
+    the k-means training sample; the caller's usual
+    ``backfill_missing_deltas`` pass then re-adds the deltas under the new
+    centroids, and ``n_delta_at_build`` resets the ratio so the next run
+    reuses.  ``None`` (default) keeps exact FAISS-add semantics — deltas
+    never trigger retraining — which the resume byte-identity contract
+    assumes.  The delta-row count is one partition-pruned parquet
+    footer count (``added_batch != base``), the same cost class as the
+    fingerprint scan."""
     existing = load_ann_index(path)
     stats = None
     if existing is not None and existing.mode == mode and existing.seed == seed:
@@ -360,6 +405,17 @@ def ensure_ann_index(
             and existing.centroids.shape[0] == min(want_c, n)
             and os.path.isdir(existing.rows_path)
         ):
+            if rebuild_threshold is not None:
+                n_delta = _count_delta_rows(corpus.sparkSession, existing)
+                fresh = n_delta - existing.n_delta_at_build
+                seen = existing.n_corpus + existing.n_delta_at_build
+                if seen > 0 and fresh > rebuild_threshold * seen:
+                    return build_ann_index(
+                        corpus, path, mode=mode, n_centroids=n_centroids,
+                        n_probe=n_probe, m_subvectors=m_subvectors, seed=seed,
+                        train_size=train_size, id_col=id_col, vec_col=vec_col,
+                        train_extra=delta_corpus, _stats=stats,
+                    )
             if existing.n_probe != want_p:
                 existing.n_probe = want_p
                 _save_model(existing)
@@ -367,7 +423,8 @@ def ensure_ann_index(
     return build_ann_index(
         corpus, path, mode=mode, n_centroids=n_centroids, n_probe=n_probe,
         m_subvectors=m_subvectors, seed=seed, train_size=train_size,
-        id_col=id_col, vec_col=vec_col, _stats=stats,
+        id_col=id_col, vec_col=vec_col, train_extra=delta_corpus,
+        _stats=stats,
     )
 
 
@@ -385,6 +442,23 @@ def assign_delta(
                       else _ROWS_SCHEMA_IVF).fields]
         )
     return _assign_pdf(model, np.asarray(ids), np.asarray(vecs), added_batch)
+
+
+def _count_delta_rows(spark: SparkSession, model: AnnIndexModel) -> int:
+    """Persisted delta rows (``added_batch != BASE_BATCH``) — partition
+    pruning keeps this to the delta dirs' parquet footers, so it costs
+    metadata reads, not a corpus scan.  0 when the rows table is missing
+    (the caller's reuse check already rejects that state)."""
+    schema = _ROWS_SCHEMA_PQ if model.mode == "ivf_pq" else _ROWS_SCHEMA_IVF
+    try:
+        return (
+            spark.read.schema(schema)
+            .parquet(model.rows_path)
+            .filter(F.col("added_batch") != BASE_BATCH)
+            .count()
+        )
+    except Exception:
+        return 0
 
 
 _DELTA_MARKER = "delta_ok_"

@@ -501,6 +501,7 @@ def run_incremental(
     encoder=None,
     retrieval_mode: str = "broadcast",
     single_batch: bool = False,
+    ann_rebuild_threshold: float | None = None,
 ) -> list[dict]:
     """Loop over batch_id in ascending order, threading KB state through the
     lake; resumable via the lineage table.
@@ -611,11 +612,24 @@ def run_incremental(
         )
 
         # trained/bucketed ONCE per (corpus, params); a resume run loads the
-        # persisted model + rows and pays zero retraining
+        # persisted model + rows and pays zero retraining.  With
+        # ``ann_rebuild_threshold`` set, drained RW entities (the accreted
+        # deltas, frozen-centroid-assigned since build) are offered as the
+        # drift training fold: when deltas-since-training exceed the
+        # threshold ratio, ensure rebuilds once with them in the k-means
+        # sample and the backfill below re-adds them under the new model.
+        delta_corpus = None
+        if ann_rebuild_threshold is not None and lake_rw is not None and drained:
+            delta_corpus = composite_corpus(
+                lake_rw.filter(F.col("batch_id").isin(sorted(drained)))
+                .select("id", "indexer", "embedding")
+            )
         ann_model = ensure_ann_index(
             composite_corpus(kb_ro.select("id", "indexer", "embedding")),
             lake.path("ann_index"),
             mode=retrieval_mode,
+            rebuild_threshold=ann_rebuild_threshold,
+            delta_corpus=delta_corpus,
         )
         # backfill: drained batches whose delta commit is missing (a lake
         # written by a pre-index version, or a fingerprint-change rebuild

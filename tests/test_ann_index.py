@@ -286,6 +286,140 @@ def test_n_probe_change_updates_model_without_rebuild(spark, embs, tmp_path):
         ai.kmeans_centroids = orig
 
 
+def test_geometry_mismatch_triggers_rebuild(spark, embs, tmp_path):
+    """An ivf_pq index built with one PQ subspace count or training budget
+    must NOT be silently reused by a caller asking for another: the exact
+    re-rank hides the mismatch from scores, but recall characteristics are
+    the old geometry's."""
+    path = str(tmp_path / "geom_idx")
+    build_ann_index(
+        embs, path, mode="ivf_pq", n_centroids=12, seed=11, m_subvectors=4
+    )
+
+    calls = []
+    orig = ai.kmeans_centroids
+    ai.kmeans_centroids = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        m = ensure_ann_index(
+            embs, path, mode="ivf_pq", n_centroids=12, m_subvectors=4
+        )
+        assert calls == [] and m.m_subvectors == 4
+        # different subspace count -> rebuild
+        m2 = ensure_ann_index(
+            embs, path, mode="ivf_pq", n_centroids=12, m_subvectors=8
+        )
+        assert len(calls) >= 1 and m2.m_subvectors == 8
+        n_after_m = len(calls)
+        # different training budget -> rebuild
+        m3 = ensure_ann_index(
+            embs, path, mode="ivf_pq", n_centroids=12, m_subvectors=8,
+            train_size=200,
+        )
+        assert len(calls) > n_after_m and m3.train_size == 200
+    finally:
+        ai.kmeans_centroids = orig
+
+
+def test_rebuild_threshold_recovers_drift_recall(spark, tmp_path):
+    """The drift knob FAISS lacks: deltas assigned under frozen build-time
+    centroids scatter noise-driven when the stream drifts into a subspace
+    the training never saw, and probe sets miss them (recall collapses).
+    Crossing ``rebuild_threshold`` retrains ONCE with the deltas folded
+    into the k-means sample; re-adding the deltas under the new model
+    restores recall.  Below-threshold runs (and the run right after the
+    rebuild, whose ratio reset) must reuse without retraining."""
+    rng = np.random.default_rng(5)
+    dim = 16
+
+    def _df(ids, X):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, X)],
+            "vec_id long, embedding array<float>",
+        )
+
+    # base: 8 tight clusters living entirely in dims 0..7
+    base_X = np.zeros((600, dim), dtype=np.float32)
+    for i in range(600):
+        base_X[i, i % 8] = 4.0
+    base_X[:, :8] += rng.normal(size=(600, 8)).astype(np.float32) * 0.2
+    base = _df(range(600), base_X)
+
+    # drift: a cluster in dims 8..15 — orthogonal to every base centroid,
+    # so frozen-model assignment is decided by per-vector noise alone
+    u = np.zeros(dim, dtype=np.float32)
+    u[8:] = 1.0
+    drift_X = (
+        np.tile(u, (200, 1))
+        + rng.normal(size=(200, dim)).astype(np.float32) * 0.35
+    ).astype(np.float32)
+    drift_ids = np.arange(2000, 2200, dtype=np.int64)
+    drift = _df(drift_ids, drift_X)
+    corpus_full = base.unionByName(drift)
+
+    q_X = (
+        np.tile(u, (40, 1))
+        + rng.normal(size=(40, dim)).astype(np.float32) * 0.35
+    ).astype(np.float32)
+    q = _df(range(9000, 9040), q_X)
+
+    path = str(tmp_path / "drift_idx")
+    model = build_ann_index(
+        base, path, mode="ivf", n_centroids=12, n_probe=2, seed=11
+    )
+    persist_delta(
+        model, spark, assign_delta(model, drift_ids, drift_X, 0), 0
+    )
+
+    before = _recall(
+        spark,
+        ann_index_search(
+            model, spark, q, k=10, n_probe=2, allowed_batches=[BASE_BATCH, 0]
+        ),
+        q, corpus_full, 10,
+    )
+    assert before <= 0.6  # noise-scattered deltas vs 2-of-12 probes
+
+    calls = []
+    orig = ai.kmeans_centroids
+    ai.kmeans_centroids = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        # 200/600 = 0.33 > 0.25 -> exactly one drift rebuild
+        m2 = ensure_ann_index(
+            base, path, mode="ivf", n_centroids=12, n_probe=2,
+            rebuild_threshold=0.25, delta_corpus=drift,
+        )
+        assert calls == [1]
+        assert m2.n_delta_at_build == 200
+        # the rebuild wiped the delta rows/markers; re-add them under the
+        # new model — the pipeline's backfill_missing_deltas step
+        assert existing_delta_batches(m2) == set()
+        persist_delta(
+            m2, spark, assign_delta(m2, drift_ids, drift_X, 0), 0
+        )
+        after = _recall(
+            spark,
+            ann_index_search(
+                m2, spark, q, k=10, n_probe=2, allowed_batches=[BASE_BATCH, 0]
+            ),
+            q, corpus_full, 10,
+        )
+        assert after >= 0.85 and after > before
+        # ratio reset: the immediate next run reuses, no second rebuild
+        m3 = ensure_ann_index(
+            base, path, mode="ivf", n_centroids=12, n_probe=2,
+            rebuild_threshold=0.25, delta_corpus=drift,
+        )
+        assert calls == [1]
+        np.testing.assert_array_equal(m3.centroids, m2.centroids)
+        # default threshold=None keeps exact FAISS-add semantics: even the
+        # drifted state never retrains
+        m4 = ensure_ann_index(base, path, mode="ivf", n_centroids=12, n_probe=2)
+        assert calls == [1]
+        np.testing.assert_array_equal(m4.centroids, m2.centroids)
+    finally:
+        ai.kmeans_centroids = orig
+
+
 def test_empty_delta_commits_marker_only(spark, embs, tmp_path):
     """A zero-entity batch persists a marker (so resume backfill never
     re-scans it) but no partition directory."""
