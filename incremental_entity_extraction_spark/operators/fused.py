@@ -124,6 +124,7 @@ def detect_encode_retrieve(
     shards: list[KBShard],
     known_words: frozenset | None = None,
     encoder=None,
+    shards_bc=None,
 ) -> DataFrame:
     """transcripts -> enriched mention rows (encoding + sorted candidates).
 
@@ -135,15 +136,27 @@ def detect_encode_retrieve(
     ``operators.torch_encoder.make_torch_encoder`` (executor-local model
     singleton).  Contract: vectors must be L2-normed to ``cfg.vector_norm``
     so the reference's dot-product thresholds keep their meaning
-    (config.py docstring)."""
+    (config.py docstring).
+
+    ``shards_bc`` is an already-created ``Broadcast[list[KBShard]]`` reused
+    ACROSS calls; ``shards`` is then only the per-call extra (e.g. the RW
+    delta shard), broadcast separately here.  The incremental loop passes
+    the RO KB this way: a per-batch ``sc.broadcast`` of an unchanged
+    multi-MB KB costs a driver-side pickle per batch plus a fresh
+    broadcast id that every reused Python worker must re-load (the
+    worker-side broadcast registry caches by id), which profiling showed
+    to be a first-order slice of the tiny-batch floor."""
     spark = transcripts.sparkSession
-    bc = spark.sparkContext.broadcast(shards)
+    bc = spark.sparkContext.broadcast(shards) if shards_bc is None else shards_bc
+    bc_extra = (
+        spark.sparkContext.broadcast(shards) if shards_bc is not None else None
+    )
     dim, norm, max_tok = cfg.dim, cfg.vector_norm, cfg.max_context_tokens
     k_cfg = cfg.top_k
     norm2 = float(cfg.vector_norm) ** 2
 
     def _fused(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        shard_list = bc.value
+        shard_list = bc.value + (bc_extra.value if bc_extra is not None else [])
         for rb in batches:
             # vectorized partition kernel (functions/fused_kernel.py) —
             # bit-identical to the per-row detection/window/encode chain

@@ -88,6 +88,33 @@ def contiguous_ids(
     )
 
 
+def new_entity_rows_pdf(clusters_pdf, cfg: PipelineConfig):
+    """Driver-side pandas twin of ``new_entity_rows`` minus ``batch_id`` —
+    exactly the frame ``BatchPersist.rw_delta`` would collect.  Exists for
+    the driver-gated tiny-batch path (pipeline._driver_cluster_assign),
+    which already HOLDS the cluster frame on the driver: collecting back
+    rows the driver just created costs a Spark job (~0.15-0.2 s/batch of
+    the profiled per-batch floor).  Value parity with the Spark path: ids
+    are int64 by construction, ``substring(1, n)`` ≡ ``str.slice(0, n)``
+    code point for code point, and centers carry the same float32 values
+    (f32 → Python float → f32 is lossless)."""
+    import numpy as np
+    import pandas as pd
+
+    c = clusters_pdf.reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "id": c["index_id"].astype("int64"),
+            "indexer": c["index_indexer"].astype("int32"),
+            "wikipedia_id": np.full(len(c), -1, dtype=np.int64),
+            "title": c["title"].astype(str).str.slice(0, cfg.max_title_len),
+            "descr": np.full(len(c), "", dtype=object),
+            "type_": np.full(len(c), None, dtype=object),
+            "embedding": c["center"],
+        }
+    )
+
+
 def new_entity_rows(clusters_with_ids: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Cluster summaries -> rows for the ``new_entities`` lake table
     (schema matches the entities dimension: id, indexer, wikipedia_id,

@@ -60,6 +60,7 @@ from incremental_entity_extraction_spark.operators.fused import (
 from incremental_entity_extraction_spark.operators.kb import (
     assign_new_entity_ids,
     new_entity_rows,
+    new_entity_rows_pdf,
 )
 from incremental_entity_extraction_spark.operators.nil import predict_nil
 from incremental_entity_extraction_spark.operators.retrieval import (
@@ -105,14 +106,16 @@ _CLUSTERS_WITH_IDS_SCHEMA = T.StructType(
 
 def _driver_cluster_assign(
     nil_df: DataFrame, cfg: PipelineConfig, cluster_mode: str, next_rw_id: int
-) -> DataFrame:
+) -> tuple[DataFrame, pd.DataFrame]:
     """Tiny-NIL-batch fast path: collect, run the SAME per-batch kernel the
     fused applyInPandas stage runs, assign ids in the SAME canonical order
     as operators/kb.assign_new_entity_ids (nelements desc, title asc,
     first-member asc — pandas stable sort ≡ the window sort; UTF-8 byte
     order ≡ Python str order on all codepoints), and re-parallelize.
     Output rows are identical to the fused path's (pinned by
-    tests/test_pipeline_e2e.py gate-parity)."""
+    tests/test_pipeline_e2e.py gate-parity).  Returns (DataFrame, the same
+    rows as pandas) so the caller can derive the RW delta driver-side
+    instead of collecting back rows the driver just created."""
     spark = nil_df.sparkSession
     pdf = nil_df.select(
         "batch_id", "conv_id", "turn_idx", "start_tok", "mention_id",
@@ -142,9 +145,10 @@ def _driver_cluster_assign(
         next_rw_id
     )
     clusters["index_indexer"] = np.int32(cfg.rw_indexer_id)
-    return spark.createDataFrame(
-        clusters[cols + ["index_id", "index_indexer"]],
-        schema=_CLUSTERS_WITH_IDS_SCHEMA,
+    clusters = clusters[cols + ["index_id", "index_indexer"]]
+    return (
+        spark.createDataFrame(clusters, schema=_CLUSTERS_WITH_IDS_SCHEMA),
+        clusters,
     )
 
 
@@ -217,10 +221,14 @@ def run_batch(
     ann_model=None,
     ann_extra_rows=None,
     ann_allowed_batches: list[int] | None = None,
+    ro_shards_bc=None,
 ):
     """One batch: transcripts -> (nil_scored, clusters_with_ids, new_entities,
-    triples).  Nothing is collected except the (small) cluster/new-entity
-    tables needed to thread state to the next batch.
+    triples, rw_add_pdf).  Nothing is collected except the (small)
+    cluster/new-entity tables needed to thread state to the next batch.
+    ``rw_add_pdf`` is the RW delta already in pandas form when the
+    driver-gated clustering path ran (None otherwise) — pass it to
+    ``BatchPersist.start(rw_pdf_precomputed=...)`` to skip the collect job.
 
     ``retrieval_mode='broadcast'`` (default): KB shards broadcast, fused
     single-hop detect→encode→retrieve — exact, for KBs within the broadcast
@@ -292,16 +300,25 @@ def run_batch(
                 )
             enriched = retrieve_topk_ann(encoded, kb_df, cfg)
     else:
-        shards = list(ro_shards)
-        if len(rw_pdf):
-            shards = shards + [KBShard(rw_pdf.reset_index(drop=True))]
         # fused single-hop stage (operators/fused.py): one Python worker per
         # task instead of three chained ones; identical output to the composed
-        # detect_mentions → encode_mentions_df → retrieve_topk chain
-        enriched = detect_encode_retrieve(
-            transcripts_batch, cfg, shards, known_words=known_words,
-            encoder=encoder,
+        # detect_mentions → encode_mentions_df → retrieve_topk chain.
+        # ``ro_shards_bc`` (run_incremental) reuses ONE broadcast of the RO
+        # KB across every batch — only the small RW shard is broadcast per
+        # batch; direct callers without it keep the single-broadcast path.
+        rw_shards = (
+            [KBShard(rw_pdf.reset_index(drop=True))] if len(rw_pdf) else []
         )
+        if ro_shards_bc is not None:
+            enriched = detect_encode_retrieve(
+                transcripts_batch, cfg, rw_shards, known_words=known_words,
+                encoder=encoder, shards_bc=ro_shards_bc,
+            )
+        else:
+            enriched = detect_encode_retrieve(
+                transcripts_batch, cfg, list(ro_shards) + rw_shards,
+                known_words=known_words, encoder=encoder,
+            )
     nil_scored = predict_nil(enriched, cfg)
     # two materialization barriers by design (SURVEY.md §3.1): clustering is
     # iterative, and the KB append is the batch boundary.  The NIL count the
@@ -317,13 +334,15 @@ def run_batch(
         "mention", "context_left", "context_right", "encoding",
     )
     n_nil = int(gate_obs.get["n_nil"] or 0)
+    rw_add_pdf = None  # driver-gated batches precompute the RW delta
     if cluster_mode in ("cc", "greedy_replay") and n_nil <= DRIVER_CLUSTER_MAX:
         # tiny-batch driver path: same kernels, no applyInPandas shuffle, no
         # window job, no checkpoint — replaces ≈0.3 s of per-batch job
         # latency with one small collect (_driver_cluster_assign docstring)
-        clusters_with_ids = _driver_cluster_assign(
+        clusters_with_ids, clusters_pdf = _driver_cluster_assign(
             nil_df, cfg, cluster_mode, next_rw_id
         )
+        rw_add_pdf = new_entity_rows_pdf(clusters_pdf, cfg)
         labels = clusters_with_ids.select(
             F.explode("mentions_id").alias("mention_id"), "cluster_label"
         )
@@ -379,7 +398,7 @@ def run_batch(
     triples = mention_triples(nil_scored, cfg).unionByName(
         cluster_triples(nil_scored, labels, clusters_with_ids)
     )
-    return nil_scored, clusters_with_ids, new_entities, triples
+    return nil_scored, clusters_with_ids, new_entities, triples, rw_add_pdf
 
 
 class BatchPersist:
@@ -407,6 +426,7 @@ class BatchPersist:
         self._ex: ThreadPoolExecutor | None = None
         self._futs: list = []
         self._fut_pdf = None
+        self._pdf: pd.DataFrame | None = None
         self._obs: Observation | None = None
 
     def start(
@@ -417,6 +437,7 @@ class BatchPersist:
         new_entities: DataFrame,
         triples: DataFrame,
         persist_candidates: bool = False,
+        rw_pdf_precomputed: pd.DataFrame | None = None,
     ) -> "BatchPersist":
         self._obs = Observation()
         mentions_out = nil_scored.drop("encoding", "candidates").observe(
@@ -445,13 +466,21 @@ class BatchPersist:
             )
         self._ex = ThreadPoolExecutor(max_workers=len(jobs) + 1)
         self._futs = [self._ex.submit(lake.write_partition, df, t) for df, t in jobs]
-        self._fut_pdf = self._ex.submit(new_entities.drop("batch_id").toPandas)
+        if rw_pdf_precomputed is not None:
+            # driver-gated batches already hold the delta rows in pandas
+            # (kb.new_entity_rows_pdf) — no collect job needed
+            self._pdf = rw_pdf_precomputed
+        else:
+            self._fut_pdf = self._ex.submit(
+                new_entities.drop("batch_id").toPandas
+            )
         return self
 
     def rw_delta(self) -> pd.DataFrame:
         """The new-entities rows for RW-state threading (blocks only on the
-        small collect, not the table writes)."""
-        return self._fut_pdf.result()
+        small collect — or returns immediately when precomputed — never on
+        the table writes)."""
+        return self._pdf if self._fut_pdf is None else self._fut_pdf.result()
 
     def finish(self) -> dict:
         """Join all writes; returns the observed mention/NIL stats.  Must
@@ -475,11 +504,12 @@ def persist_batch(
     new_entities: DataFrame,
     triples: DataFrame,
     persist_candidates: bool = False,
+    rw_pdf_precomputed: pd.DataFrame | None = None,
 ) -> tuple[pd.DataFrame, dict]:
     """Synchronous persist (streaming driver + ad-hoc callers)."""
     bp = BatchPersist().start(
         lake, nil_scored, clusters_with_ids, new_entities, triples,
-        persist_candidates,
+        persist_candidates, rw_pdf_precomputed,
     )
     add_pdf = bp.rw_delta()
     return add_pdf, bp.finish()
@@ -502,6 +532,7 @@ def run_incremental(
     retrieval_mode: str = "broadcast",
     single_batch: bool = False,
     ann_rebuild_threshold: float | None = None,
+    salt_repartition: bool | None = None,
 ) -> list[dict]:
     """Loop over batch_id in ascending order, threading KB state through the
     lake; resumable via the lineage table.
@@ -532,6 +563,12 @@ def run_incremental(
         )
     # ANN modes never collect the KB — that is their point
     ro_shards = build_kb_shards(kb_ro, n_shards) if retrieval_mode == "broadcast" else []
+    # ONE broadcast of the RO KB for the whole run: per-batch re-broadcast
+    # of an unchanged KB pays a driver pickle per batch and defeats the
+    # Python workers' broadcast-id cache (fused.detect_encode_retrieve)
+    ro_shards_bc = (
+        spark.sparkContext.broadcast(ro_shards) if ro_shards else None
+    )
     if partitions is None:
         # size tasks to the data: ~2000 turns per task, bounded by the
         # executor slots — tiny batches shouldn't schedule 2×cores tasks,
@@ -542,6 +579,18 @@ def run_incremental(
         ).first()
         n_turns, n_b = int(sizes["n"]), max(1, int(sizes["b"]))
         partitions = int(min(par * 2, max(par // 2, n_turns / n_b / 2000, 1)))
+        if salt_repartition is None:
+            # auto: the per-batch salt shuffle exists for (a) parallelism —
+            # a byte-contiguous batch in the source parquet lands in ~one
+            # scan split — and (b) hot-conversation skew; for tiny batches
+            # it buys neither (single-task fused compute is already cheap)
+            # and its ~0.2 s/batch stage is pure serial floor (profiled),
+            # so skip it below ~1000 turns/batch
+            salt_repartition = (n_turns / n_b) >= 1000
+    elif salt_repartition is None:
+        # an explicit partition count is a request to shape the batch's
+        # partitioning (the partition-invariance tests rely on it)
+        salt_repartition = True
 
     batch_ids = [
         r["batch_id"]
@@ -689,24 +738,30 @@ def run_incremental(
             if b in done:
                 continue
             t0 = time.time()
-            tb = transcripts.filter(F.col("batch_id") == int(b)).repartition(
-                partitions, "conv_id", "turn_idx"  # turn_idx = skew salt
-            )
-            nil_scored, clusters_with_ids, new_entities, triples = run_batch(
-                tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words,
-                encoder, retrieval_mode, kb_ro, rw_df=_rw_state_df(),
-                ann_model=ann_model, ann_extra_rows=ann_inflight,
-                ann_allowed_batches=(
-                    [BASE_BATCH] + sorted(drained) if ann_model is not None
-                    else None
-                ),
+            tb = transcripts.filter(F.col("batch_id") == int(b))
+            if salt_repartition:
+                tb = tb.repartition(
+                    partitions, "conv_id", "turn_idx"  # turn_idx = skew salt
+                )
+            nil_scored, clusters_with_ids, new_entities, triples, rw_add = (
+                run_batch(
+                    tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode,
+                    known_words, encoder, retrieval_mode, kb_ro,
+                    rw_df=_rw_state_df(),
+                    ann_model=ann_model, ann_extra_rows=ann_inflight,
+                    ann_allowed_batches=(
+                        [BASE_BATCH] + sorted(drained) if ann_model is not None
+                        else None
+                    ),
+                    ro_shards_bc=ro_shards_bc,
+                )
             )
             # S7 analogue: persist the enriched mention table per batch
             # (reference pickles outdata per batch, eval_kbp.py:654-658);
             # encodings/candidates are dropped — recomputable and dominate bytes.
             bp = BatchPersist().start(
                 lake, nil_scored, clusters_with_ids, new_entities, triples,
-                persist_candidates,
+                persist_candidates, rw_pdf_precomputed=rw_add,
             )
             # thread RW state forward (small dimension delta)
             add_pdf = bp.rw_delta()
@@ -754,6 +809,9 @@ def run_incremental(
             except Exception:
                 pass
         raise
+    finally:
+        if ro_shards_bc is not None:
+            ro_shards_bc.unpersist()
 
     if stats_rows:
         metrics_df = spark.createDataFrame(pd.DataFrame(stats_rows))

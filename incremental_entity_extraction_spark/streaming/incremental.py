@@ -58,6 +58,12 @@ def run_streaming_incremental(
     ro_shards = (
         build_kb_shards(kb_ro, n_shards) if retrieval_mode == "broadcast" else []
     )
+    # one RO-KB broadcast for the stream's lifetime (batch-driver parity —
+    # see run_incremental): per-batch re-broadcast of the unchanged KB
+    # defeats the Python workers' broadcast-id cache
+    ro_shards_bc = (
+        spark.sparkContext.broadcast(ro_shards) if ro_shards else None
+    )
     ann_model = None
 
     def _process(batch_df, epoch_id: int) -> None:
@@ -146,17 +152,22 @@ def run_streaming_incremental(
             if b in done:
                 continue
             tb = batch_df.filter(F.col("batch_id") == int(b))
-            nil_scored, clusters_with_ids, new_entities, triples = run_batch(
-                tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode, known_words,
-                encoder, retrieval_mode, kb_ro, rw_df=_rw_state_df(),
-                ann_model=ann_model,
-                ann_allowed_batches=(
-                    [BASE_BATCH] + visible if ann_model is not None else None
-                ),
+            nil_scored, clusters_with_ids, new_entities, triples, rw_add = (
+                run_batch(
+                    tb, ro_shards, rw_pdf, next_rw_id, cfg, cluster_mode,
+                    known_words, encoder, retrieval_mode, kb_ro,
+                    rw_df=_rw_state_df(),
+                    ann_model=ann_model,
+                    ann_allowed_batches=(
+                        [BASE_BATCH] + visible if ann_model is not None
+                        else None
+                    ),
+                    ro_shards_bc=ro_shards_bc,
+                )
             )
             add_pdf, _counts = persist_batch(
                 lake, nil_scored, clusters_with_ids, new_entities, triples,
-                persist_candidates,
+                persist_candidates, rw_pdf_precomputed=rw_add,
             )
             if ann:
                 # synchronous delta persist BEFORE the lineage mark — the
@@ -188,4 +199,8 @@ def run_streaming_incremental(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if ro_shards_bc is not None:
+            ro_shards_bc.unpersist()
