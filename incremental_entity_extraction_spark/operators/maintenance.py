@@ -49,16 +49,20 @@ def _assert_posix_rename(root: str, op: str) -> None:
     compacted files under a new name, then atomically flip ONE small
     manifest object that readers resolve the file list through (exactly
     Iceberg's ``rewrite_data_files`` + snapshot-commit split, which this
-    module is the parquet-dir analogue of).  The parquet-dir stand-in lake
-    has no reader indirection to hang a manifest on, so object-store paths
-    are refused rather than silently made crash-unsafe."""
+    module is the parquet-dir analogue of).  That protocol IS implemented
+    — ``operators.manifest`` (immutable data files, staged manifest,
+    single pointer-flip commit, unreferenced-file vacuum) — so object-store
+    paths are refused here with a working alternative rather than silently
+    made crash-unsafe."""
     low = root.lower()
     if any(low.startswith(s) for s in _NON_ATOMIC_SCHEMES):
         raise NotImplementedError(
             f"{op}: {root!r} is on an object store; the two-rename partition "
-            "swap is only atomic on POSIX filesystems. At this scale run the "
-            "real Iceberg action (rewrite_data_files / remove_orphan_files) "
-            "or a manifest-pointer commit instead."
+            "swap is only atomic on POSIX filesystems. Use the manifest-"
+            "pointer protocol instead (operators.manifest."
+            "compact_table_manifest + vacuum_unreferenced + read_table: "
+            "immutable files, one-object pointer flip as the commit), or "
+            "the real Iceberg actions at that scale."
         )
 
 

@@ -40,6 +40,13 @@ def main() -> None:
     p.add_argument("--compact", action="store_true")
     p.add_argument("--vacuum", action="store_true")
     p.add_argument(
+        "--manifest", action="store_true",
+        help="use the manifest-pointer commit protocol "
+        "(operators.manifest): immutable data files, one pointer-object "
+        "flip per table as the commit, unreferenced-file vacuum — the "
+        "object-store-safe path (also works on POSIX)",
+    )
+    p.add_argument(
         "--tables", nargs="*", default=None,
         help="restrict to these tables (default: every table in the lake)",
     )
@@ -70,6 +77,32 @@ def main() -> None:
         )
     report: dict = {"lake": args.lake, "tables": tables}
     window_s = args.older_than_hours * 3600.0
+    if args.manifest:
+        from incremental_entity_extraction_spark.operators.manifest import (
+            compact_table_manifest,
+            vacuum_unreferenced,
+        )
+
+        spark = get_spark(app_name="lake-maintenance")
+        if do_compact:
+            report["compact"] = {
+                t: compact_table_manifest(
+                    spark, lake.path(t),
+                    target_file_bytes=args.target_file_mb << 20,
+                    older_than_seconds=window_s,
+                )
+                for t in tables
+            }
+        if do_vacuum:
+            report["vacuum"] = {
+                t: vacuum_unreferenced(
+                    lake.path(t), older_than_seconds=window_s
+                )
+                for t in tables
+            }
+        spark.stop()
+        print(json.dumps(report))
+        return
     if do_vacuum:
         # pure filesystem pass, no Spark session — and it must run BEFORE
         # compaction (see module docstring)

@@ -1,0 +1,158 @@
+"""Manifest-pointer table commits (operators/manifest.py): compacted files
+land alongside live ones invisibly, ONE pointer flip is the commit, readers
+resolve through the manifest, and vacuum only touches unreferenced files.
+Covers both crash windows (pre-flip, post-flip) on the posix simulation."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_entity_extraction_spark.operators import manifest as mf
+
+
+def _write_world(spark, root):
+    """Two batch partitions, several small files each."""
+    for b in (0, 1):
+        df = spark.range(100 * b, 100 * b + 100).select(
+            F.col("id"),
+            (F.col("id") * 2).alias("v"),
+            F.lit(b).alias("batch_id"),
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.repartition(4).write.mode("overwrite").partitionBy(
+            "batch_id"
+        ).parquet(root)
+
+
+def _rows(spark, root):
+    return {
+        (r["id"], r["v"], r["batch_id"])
+        for r in mf.read_table(spark, root).collect()
+    }
+
+
+@pytest.fixture()
+def world(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    _write_world(spark, root)
+    return root
+
+
+def test_refresh_and_manifest_read_equals_dir_read(spark, world):
+    plain = {
+        (r["id"], r["v"], r["batch_id"])
+        for r in spark.read.parquet(world).collect()
+    }
+    assert mf.current_manifest(world) is None
+    mf.refresh_manifest(world)
+    m = mf.current_manifest(world)
+    assert m is not None and set(m["files"]) == {"batch_id=0", "batch_id=1"}
+    assert _rows(spark, world) == plain
+
+
+def test_compact_commit_and_both_crash_windows(spark, world):
+    before = _rows(spark, world)
+    mf.refresh_manifest(world)
+    m1 = mf.current_manifest(world)
+    n_files_before = sum(len(v) for v in m1["files"].values())
+    assert n_files_before >= 8  # 4 files per partition
+
+    # pre-flip crash: compacted files are staged alongside, manifest file
+    # written, pointer NOT flipped -> readers still see the old file set
+    st = mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0,
+        _crash_before_flip=True,
+    )
+    assert st["partitions_compacted"] == 2 and not st["committed"]
+    assert mf.current_manifest(world)["seq"] == m1["seq"]
+    assert _rows(spark, world) == before
+    # the new files really are on disk alongside (invisible orphans)
+    orphans = [
+        f
+        for f in os.listdir(os.path.join(world, "batch_id=0"))
+        if f.startswith("compact-")
+    ]
+    assert orphans
+
+    # retry to completion: ONE pointer flip commits the compacted set
+    st2 = mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0,
+    )
+    assert st2["committed"] and st2["partitions_compacted"] == 2
+    m2 = mf.current_manifest(world)
+    assert m2["seq"] > m1["seq"]
+    assert sum(len(v) for v in m2["files"].values()) == 2  # 1 file/partition
+    assert _rows(spark, world) == before
+
+    # post-flip crash window == committed state with orphaned OLD files:
+    # reads already resolve through the new manifest; vacuum reclaims the
+    # unreferenced files and the superseded manifest, reads unchanged
+    removed = mf.vacuum_unreferenced(world, older_than_seconds=0.0)
+    assert removed  # old small files + superseded manifest(s)
+    assert _rows(spark, world) == before
+    for part in ("batch_id=0", "batch_id=1"):
+        live = mf.current_manifest(world)["files"][part]
+        on_disk = [
+            f
+            for f in os.listdir(os.path.join(world, part))
+            if f.endswith(".parquet")
+        ]
+        assert sorted(on_disk) == sorted(live)
+
+    # idempotent: nothing left to compact or vacuum
+    st3 = mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0
+    )
+    assert st3["partitions_compacted"] == 0
+    assert mf.vacuum_unreferenced(world, older_than_seconds=0.0) == []
+
+
+def test_uncovered_partitions_stay_visible_and_writer_safe(spark, world):
+    mf.refresh_manifest(world)
+    mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0
+    )
+    mf.vacuum_unreferenced(world, older_than_seconds=0.0)
+    # a NEW batch written after the manifest commit (the pipeline's normal
+    # dynamic-overwrite write) must be visible without a manifest refresh
+    df = spark.range(200, 260).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit(2).alias("batch_id")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.repartition(3).write.mode("overwrite").partitionBy("batch_id").parquet(
+        world
+    )
+    got = _rows(spark, world)
+    assert {r for r in got if r[2] == 2} == {
+        (i, 2 * i, 2) for i in range(200, 260)
+    }
+    # and vacuum must NOT touch the uncovered partition (writer territory)
+    assert mf.vacuum_unreferenced(world, older_than_seconds=0.0) == []
+    assert len(
+        [
+            f
+            for f in os.listdir(os.path.join(world, "batch_id=2"))
+            if f.endswith(".parquet")
+        ]
+    ) == 3
+
+
+def test_row_count_mismatch_aborts_without_commit(spark, world, monkeypatch):
+    mf.refresh_manifest(world)
+    m1 = mf.current_manifest(world)
+    orig = mf._stage_compacted_files
+
+    def bad_stage(spark_, root, part, files, want, seq_tag):
+        # corrupt: silently compact only a subset of the input files, so
+        # the staged output holds fewer rows than the referenced set
+        return orig(spark_, root, part, files[:-1], want, seq_tag)
+
+    monkeypatch.setattr(mf, "_stage_compacted_files", bad_stage)
+    before = _rows(spark, world)
+    with pytest.raises(RuntimeError, match="row-count mismatch"):
+        mf.compact_table_manifest(
+            spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0
+        )
+    assert mf.current_manifest(world)["seq"] == m1["seq"]
+    assert _rows(spark, world) == before
