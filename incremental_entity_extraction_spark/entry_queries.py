@@ -951,6 +951,42 @@ def build_kg_world(spark, sf_dir):
     return _world_cache[key]
 
 
+def kg_lake_current_path() -> str:
+    """Fixed symlink the q29/q30/q31/q33 DuckDB oracles read the lake
+    through.  The oracle SQL strings are static (built at import, before
+    any sf_dir is known), so they cannot embed a per-sf path — instead
+    ``run_kg_pipeline`` repoints this symlink at the sf_dir's lake before
+    returning, and the harness always executes the Spark query (which
+    builds/repoints) before its oracle."""
+    import os
+
+    return os.path.join(tempfile.gettempdir(), "iees_kg_lake_current")
+
+
+def _kg_lake_dir(sf_dir: str) -> str:
+    """Deterministic per-sf lake location: a resumed process finds the
+    completed lineage and pays zero recompute (prefix-resume no-op), and
+    the DuckDB oracles can read the very tables the Spark queries read."""
+    import hashlib
+    import os
+
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"iees_kg_lake_{h}")
+
+
+def _point_kg_current(lake_dir: str) -> None:
+    import os
+
+    cur = kg_lake_current_path()
+    tmp = f"{cur}.tmp.{os.getpid()}"
+    try:
+        os.remove(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(lake_dir, tmp)
+    os.replace(tmp, cur)
+
+
 def run_kg_pipeline(spark, sf_dir):
     """Run (and cache) the incremental KG pipeline over the derived world."""
     import os
@@ -959,14 +995,16 @@ def run_kg_pipeline(spark, sf_dir):
 
     key = os.path.abspath(sf_dir)
     if key in _kg_cache:
+        _point_kg_current(_kg_cache[key][0].root)
         return _kg_cache[key]
     transcripts, kb = build_kg_world(spark, sf_dir)
-    lake_dir = tempfile.mkdtemp(prefix="kg_lake_")
+    lake_dir = _kg_lake_dir(sf_dir)
     lake = Lake(lake_dir)
     stats = run_incremental(
         spark, transcripts, kb, lake, CFG,
         cluster_mode="greedy_replay", known_words=KG_STOPWORDS,
     )
+    _point_kg_current(lake_dir)
     _kg_cache[key] = (lake, stats)
     return _kg_cache[key]
 
@@ -1914,6 +1952,60 @@ QUERIES = {
     "q50_ann_index": q50_ann_index,
 }
 
+def _kg_lake_sql(table: str) -> str:
+    """FROM-clause fragment for a kg-lake table: DuckDB reads the SAME
+    parquet partitions the Spark query reads, through the ``current``
+    symlink ``run_kg_pipeline`` repoints (the harness runs Spark first).
+    These oracles pin the RELATIONAL derivation over the persisted tables
+    — the pipeline content itself is pinned by the e2e oracle-parity
+    tests; here DuckDB independently recomputes the per-batch aggregates."""
+    cur = kg_lake_current_path()
+    return (
+        f"read_parquet('{cur}/{table}/*/*.parquet', hive_partitioning=1)"
+    )
+
+
+def q29_sql() -> str:
+    return f"""
+    SELECT pred, CAST(batch_id AS INT) AS batch_id, COUNT(*)::BIGINT AS n
+    FROM {_kg_lake_sql('triples')}
+    GROUP BY pred, batch_id
+    """
+
+
+def q30_sql() -> str:
+    return f"""
+    SELECT CAST(batch_id AS INT) AS batch_id,
+           COUNT(*)::BIGINT AS n_new_entities,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM {_kg_lake_sql('new_entities')}
+    GROUP BY batch_id
+    """
+
+
+def q31_sql() -> str:
+    return f"""
+    SELECT CAST(batch_id AS INT) AS batch_id,
+           COUNT(*)::BIGINT AS n_mentions,
+           CAST(SUM(CASE WHEN is_nil THEN 1 ELSE 0 END) AS BIGINT) AS n_nil,
+           CAST(SUM(CASE WHEN (NOT is_nil)
+                          AND top_indexer = {CFG.rw_indexer_id}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_linked_to_discovered
+    FROM {_kg_lake_sql('mentions')}
+    GROUP BY batch_id
+    """
+
+
+def q33_sql() -> str:
+    return f"""
+    SELECT nelements, COUNT(*)::BIGINT AS n_clusters
+    FROM {_kg_lake_sql('prev_clusters')}
+    GROUP BY nelements
+    """
+
+
 ORACLE_SQL = {
     "q01_filter_project": q01_sql(),
     "q02_group_agg_stats": q02_sql(),
@@ -1939,6 +2031,13 @@ ORACLE_SQL = {
     "q24_emb_neardup_brute": q24_sql(),
     "q26_kg_transcripts": q26_sql(),
     "q27_kg_mention_tokens": q27_sql(),
+    # kg-lake derivation oracles: DuckDB recomputes the aggregates over the
+    # SAME persisted lake tables (through the `current` symlink the Spark
+    # side repoints) — see _kg_lake_sql
+    "q29_kg_triple_summary": q29_sql(),
+    "q30_kg_incremental_state": q30_sql(),
+    "q31_kg_nil_rate": q31_sql(),
+    "q33_kg_cluster_quality": q33_sql(),
     "q35_sessionize_events": q35_sql(),
     "q37_conll_scan": q37_sql(),
     "q39_contiguous_ids": q39_sql(),
