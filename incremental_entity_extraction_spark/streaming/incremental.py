@@ -43,6 +43,7 @@ def run_streaming_incremental(
     persist_candidates: bool = False,
     encoder=None,
     retrieval_mode: str = "broadcast",
+    ann_rebuild_threshold: float | None = None,
 ) -> None:
     """Consume a transcript parquet directory as a stream; emit lake tables.
 
@@ -112,10 +113,21 @@ def run_streaming_incremental(
                 composite_corpus,
             )
 
+            # batch-driver parity: drained RW entities offered as the drift
+            # training fold when the rebuild threshold is set (pipeline.py)
+            delta_corpus = None
+            if ann_rebuild_threshold is not None and rw_df is not None and done:
+                delta_corpus = composite_corpus(
+                    rw_df.filter(
+                        F.col("batch_id").isin([int(b) for b in done])
+                    ).select("id", "indexer", "embedding")
+                )
             ann_model = ensure_ann_index(
                 composite_corpus(kb_ro.select("id", "indexer", "embedding")),
                 lake.path("ann_index"),
                 mode=retrieval_mode,
+                rebuild_threshold=ann_rebuild_threshold,
+                delta_corpus=delta_corpus,
             )
         if ann:
             from incremental_entity_extraction_spark.operators.ann_index import (
