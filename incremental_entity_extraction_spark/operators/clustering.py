@@ -180,6 +180,7 @@ def cluster_cc(
     lsh_threshold: int = 200_000,
     cc_backend: str = "star",
     small_graph_edges: int = 100_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """CC engine: (mention_id, cluster_label) for all NIL mentions.
 
@@ -189,8 +190,13 @@ def cluster_cc(
 
     ``cc_backend``: 'star' (default — large-star/small-star, O(log n) rounds
     regardless of component diameter) or 'propagation' (min-label, O(diameter)
-    rounds; kept for cross-checking).  Both emit label = min member id."""
-    n = nil_df.count()
+    rounds; kept for cross-checking).  Both emit label = min member id.
+
+    ``n_rows``: the NIL row count when the caller already knows it (the
+    pipeline's gate count rides an ``Observation`` on the checkpoint
+    action) — passing it skips this function's one standalone ``count()``
+    job, which exists only to pick the edge-generation path."""
+    n = nil_df.count() if n_rows is None else int(n_rows)
     if n > lsh_threshold:
         edges = nil_edges_lsh(nil_df, cfg)
     else:

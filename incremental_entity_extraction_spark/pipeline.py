@@ -380,7 +380,8 @@ def run_batch(
         elif cluster_mode == "tfidf":
             labels = cluster_tfidf(nil_df, cfg)
         elif cluster_mode == "cc":
-            labels = cluster_cc(nil_df, cfg)
+            # n_nil from the checkpoint Observation: no standalone count job
+            labels = cluster_cc(nil_df, cfg, n_rows=n_nil)
         else:
             raise ValueError(
                 f"unknown cluster_mode {cluster_mode!r}: "
