@@ -124,14 +124,18 @@ def _await_quiet(tag: str) -> dict:
                 "waited_s": round(waited, 1), "trail": trail,
             }
         if waited >= LOAD_GATE_TIMEOUT or _gate_spent + waited >= LOAD_GATE_BUDGET:
+            # classify BEFORE folding this wait into the global total — a
+            # sample that hit its own timeout must not read "global_budget"
+            # just because the cumulative total crossed at the same instant
+            reason = (
+                "sample_timeout" if waited >= LOAD_GATE_TIMEOUT
+                else "global_budget"
+            )
             _gate_spent += waited
             return {
                 "tag": tag, "passed": False, "load1": cur,
                 "waited_s": round(waited, 1), "trail": trail,
-                "reason": (
-                    "global_budget" if _gate_spent >= LOAD_GATE_BUDGET
-                    else "sample_timeout"
-                ),
+                "reason": reason,
             }
         time.sleep(_LOAD_POLL_S)
 

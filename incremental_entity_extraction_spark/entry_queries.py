@@ -964,14 +964,18 @@ def kg_lake_current_path() -> str:
 
 
 def _kg_lake_dir(sf_dir: str) -> str:
-    """Deterministic per-sf lake location: a resumed process finds the
-    completed lineage and pays zero recompute (prefix-resume no-op), and
-    the DuckDB oracles can read the very tables the Spark queries read."""
-    import hashlib
+    """Fresh per-process lake dir (mkdtemp), NOT a deterministic path: a
+    deterministic /tmp location + lineage prefix-resume would serve a
+    STALE lake across code/config changes — and because the co-located
+    DuckDB oracles read the same lake through the ``current`` symlink,
+    Spark and oracle would agree on the stale content and the parity check
+    could never catch it.  mkdtemp also keeps two concurrent processes on
+    the same sf_dir from sharing (and corrupting) one lake.  The in-process
+    ``_kg_cache`` still makes repeat queries free within a process."""
     import os
 
-    h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"iees_kg_lake_{h}")
+    tag = os.path.basename(os.path.abspath(sf_dir)) or "sf"
+    return tempfile.mkdtemp(prefix=f"iees_kg_lake_{tag}_")
 
 
 def _point_kg_current(lake_dir: str) -> None:

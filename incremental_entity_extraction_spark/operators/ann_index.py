@@ -376,7 +376,10 @@ def ensure_ann_index(
     centroids, and ``n_delta_at_build`` resets the ratio so the next run
     reuses.  ``None`` (default) keeps exact FAISS-add semantics — deltas
     never trigger retraining — which the resume byte-identity contract
-    assumes.  The delta-row count is one partition-pruned parquet
+    assumes.  A tripped threshold with ``delta_corpus=None`` is IGNORED,
+    not acted on: the rebuild wipes the persisted delta rows, and without
+    the delta vectors in hand they could never be restored (and the reset
+    ratio would re-trip forever) — see the inline guard.  The delta-row count is one partition-pruned parquet
     footer count (``added_batch != base``), the same cost class as the
     fingerprint scan."""
     existing = load_ann_index(path)
@@ -405,7 +408,15 @@ def ensure_ann_index(
             and existing.centroids.shape[0] == min(want_c, n)
             and os.path.isdir(existing.rows_path)
         ):
-            if rebuild_threshold is not None:
+            if rebuild_threshold is not None and delta_corpus is not None:
+                # delta_corpus is REQUIRED for a drift rebuild, not just
+                # preferred: rebuilding wipes the persisted delta rows, and
+                # the caller's backfill can only restore rows it can read
+                # back — a rebuild triggered without the delta vectors in
+                # hand (e.g. new_entities unreadable, nothing drained yet)
+                # would (a) permanently drop the wiped deltas from the
+                # index and (b) record n_delta_at_build=0, re-tripping the
+                # threshold and retraining on EVERY subsequent run
                 n_delta = _count_delta_rows(corpus.sparkSession, existing)
                 fresh = n_delta - existing.n_delta_at_build
                 seen = existing.n_corpus + existing.n_delta_at_build

@@ -148,8 +148,13 @@ def detect_encode_retrieve(
     to be a first-order slice of the tiny-batch floor."""
     spark = transcripts.sparkSession
     bc = spark.sparkContext.broadcast(shards) if shards_bc is None else shards_bc
+    # an EMPTY extra list gets no broadcast at all — broadcasting [] per
+    # batch would reintroduce the per-batch broadcast-id churn (and a
+    # driver-side leak over a long stream) this parameter exists to remove
     bc_extra = (
-        spark.sparkContext.broadcast(shards) if shards_bc is not None else None
+        spark.sparkContext.broadcast(shards)
+        if shards_bc is not None and shards
+        else None
     )
     dim, norm, max_tok = cfg.dim, cfg.vector_norm, cfg.max_context_tokens
     k_cfg = cfg.top_k

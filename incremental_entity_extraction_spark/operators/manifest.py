@@ -10,8 +10,13 @@ split:
 * data files are IMMUTABLE and never renamed or overwritten: a compaction
   writes its output files ALONGSIDE the live ones under fresh unique names
   (on a real object store Spark PUTs them directly; the POSIX simulation
-  stages and hard-moves, which readers never observe because they do not
-  list directories);
+  stages and hard-moves, invisible to MANIFEST-RESOLVED readers — which is
+  why a table that has a committed manifest MUST be read through
+  ``read_table``/``Lake.read``, both manifest-aware; a plain
+  ``spark.read.parquet(dir)`` or a DuckDB directory glob on such a table
+  double-reads every compacted-but-not-yet-vacuumed partition.  The
+  entry-query DuckDB oracles are safe because the bench kg lake is a fresh
+  ``mkdtemp`` dir no maintenance ever runs on);
 * a table's readable state is a JSON **manifest** (`_manifests/
   manifest-<seq>.json`) mapping partition dir -> exact data-file names;
 * the COMMIT is one small-object write: flipping the ``_current_manifest``
@@ -133,11 +138,30 @@ def read_table(spark: SparkSession, root: str) -> DataFrame:
         return spark.read.parquet(root)
     paths: list[str] = []
     covered = m["files"]
+    def _live_ungoverned(pdir: str) -> list[str]:
+        # outside manifest governance, compact-* files can only be orphans
+        # of a crashed pre-flip compaction attempt (a committed compaction
+        # puts its partition IN the manifest; a writer overwrite empties
+        # the dir) — reading them would double rows
+        return [
+            os.path.join(pdir, f)
+            for f in _data_files(pdir)
+            if not f.startswith("compact-")
+        ]
+
     for part, files in covered.items():
-        paths.extend(os.path.join(root, part, f) for f in files)
+        pdir = os.path.join(root, part)
+        if all(os.path.exists(os.path.join(pdir, f)) for f in files):
+            paths.extend(os.path.join(pdir, f) for f in files)
+        else:
+            # a writer rewrote this governed partition (lineage re-run,
+            # dynamic partition overwrite -> fresh file names) without a
+            # refresh_manifest: the manifest entry is stale, the directory
+            # is the truth
+            paths.extend(_live_ungoverned(pdir) if os.path.isdir(pdir) else [])
     for part in _partition_dirs(root):
         if part not in covered:
-            paths.append(os.path.join(root, part))
+            paths.extend(_live_ungoverned(os.path.join(root, part)))
     if not paths:
         return spark.read.parquet(root)
     return spark.read.option("basePath", root).parquet(*paths)
@@ -203,25 +227,41 @@ def compact_table_manifest(
     changed = False
     for part in _partition_dirs(root):
         pdir = os.path.join(root, part)
-        files = m["files"].get(part, _data_files(pdir))
+        governed = part in m["files"]
+        if governed and all(
+            os.path.exists(os.path.join(pdir, f)) for f in m["files"][part]
+        ):
+            files = m["files"][part]
+        else:
+            if governed:
+                # a writer rewrote this governed partition (lineage re-run,
+                # fresh file names) without refresh_manifest: the manifest
+                # entry is stale — drop coverage (commit a manifest without
+                # it) and treat the directory as the truth again
+                governed = False
+                changed = True
+            # live listing for uncovered territory EXCLUDES compact-*
+            # files: there they can only be orphans of a crashed pre-flip
+            # attempt, and including them would both double the staged
+            # rows and corrupt the row-count verification
+            files = [
+                f for f in _data_files(pdir) if not f.startswith("compact-")
+            ]
         stats["files_before"] += len(files)
-        total = sum(
-            os.path.getsize(os.path.join(pdir, f))
-            for f in files
-            if os.path.exists(os.path.join(pdir, f))
-        )
+        total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
         want = max(1, math.ceil(total / target_file_bytes))
         newest = max(
-            (
-                os.path.getmtime(os.path.join(pdir, f))
-                for f in files
-                if os.path.exists(os.path.join(pdir, f))
-            ),
+            (os.path.getmtime(os.path.join(pdir, f)) for f in files),
             default=float("inf"),
         )
         if len(files) <= want or newest > cutoff:
-            new_files[part] = files
             stats["files_after"] += len(files)
+            # carry forward ONLY partitions the old manifest already
+            # governed: annexing a skipped (in-flight or writer-territory)
+            # partition would hand vacuum a keep-set that goes stale on
+            # the writer's next overwrite and delete the live copies
+            if governed:
+                new_files[part] = files
             continue
         compacted = _stage_compacted_files(
             spark, root, part, files, want, seq_tag
@@ -281,6 +321,12 @@ def vacuum_unreferenced(
             continue  # not manifest-governed (new batch) — writer territory
         keep = set(m["files"][part])
         pdir = os.path.join(root, part)
+        if not all(os.path.exists(os.path.join(pdir, f)) for f in keep):
+            # a writer rewrote this governed partition since the manifest
+            # committed (fresh file names): the keep-set is stale, and
+            # deleting by it would remove the only live copies — skip; the
+            # next compaction pass drops the stale coverage
+            continue
         for f in _data_files(pdir):
             full = os.path.join(pdir, f)
             if f not in keep and os.path.getmtime(full) <= cutoff:

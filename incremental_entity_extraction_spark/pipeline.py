@@ -187,6 +187,18 @@ class Lake:
         )
         if not has_data:
             return None
+        # manifest-governed tables (object-store maintenance protocol,
+        # operators/manifest.py) must resolve through the committed
+        # manifest: between a compaction commit and its vacuum a partition
+        # dir legitimately holds BOTH the superseded and the compacted
+        # files, and a plain directory read would double every row
+        from incremental_entity_extraction_spark.operators.manifest import (
+            current_manifest,
+            read_table,
+        )
+
+        if current_manifest(p) is not None:
+            return read_table(spark, p)
         return spark.read.parquet(p)
 
     # --- lineage (checkpoint markers), tiny JSON lines on the driver -----
@@ -570,33 +582,34 @@ def run_incremental(
     ro_shards_bc = (
         spark.sparkContext.broadcast(ro_shards) if ro_shards else None
     )
-    if partitions is None:
-        # size tasks to the data: ~2000 turns per task, bounded by the
-        # executor slots — tiny batches shouldn't schedule 2×cores tasks,
-        # huge ones shouldn't underfill the cluster (one agg job, not two)
-        par = spark.sparkContext.defaultParallelism
-        sizes = transcripts.agg(
-            F.count("*").alias("n"), F.countDistinct("batch_id").alias("b")
-        ).first()
-        n_turns, n_b = int(sizes["n"]), max(1, int(sizes["b"]))
-        partitions = int(min(par * 2, max(par // 2, n_turns / n_b / 2000, 1)))
-        if salt_repartition is None:
-            # auto: the per-batch salt shuffle exists for (a) parallelism —
-            # a byte-contiguous batch in the source parquet lands in ~one
-            # scan split — and (b) hot-conversation skew; for tiny batches
-            # it buys neither (single-task fused compute is already cheap)
-            # and its ~0.2 s/batch stage is pure serial floor (profiled),
-            # so skip it below ~1000 turns/batch
-            salt_repartition = (n_turns / n_b) >= 1000
-    elif salt_repartition is None:
+    # ONE job sizes every batch AND enumerates the batch ids (replaces the
+    # former separate count-agg + distinct queries)
+    par = spark.sparkContext.defaultParallelism
+    batch_counts = {
+        r["batch_id"]: int(r["n"])
+        for r in transcripts.groupBy("batch_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if partitions is not None and salt_repartition is None:
         # an explicit partition count is a request to shape the batch's
         # partitioning (the partition-invariance tests rely on it)
         salt_repartition = True
+    # salt_repartition True/False forces every batch; None = decide PER
+    # BATCH in the loop: the salt shuffle exists for (a) parallelism — a
+    # byte-contiguous batch in the source parquet lands in ~one scan split
+    # — and (b) hot-conversation skew; for tiny batches it buys neither
+    # (single-task fused compute is already cheap) and its ~0.2 s/batch
+    # stage is pure serial floor (profiled), so skip below ~1000
+    # turns/batch.  Per-batch, NOT the run average: one 50k-turn batch
+    # among many tiny ones must still get its salt and its task count.
 
-    batch_ids = [
-        r["batch_id"]
-        for r in transcripts.select("batch_id").distinct().orderBy("batch_id").collect()
-    ]
+    def _batch_partitions(n: int) -> int:
+        # ~2000 turns per task, bounded by executor slots: tiny batches
+        # shouldn't schedule 2×cores tasks, huge ones shouldn't underfill
+        return int(min(par * 2, max(par // 2, n / 2000, 1)))
+
+    batch_ids = sorted(batch_counts)
     # incremental contract: batch N+1's output depends on batch N's RW state,
     # so only the longest completed PREFIX of the batch order counts as done —
     # a gap in the lineage (mid-run corruption, manual partition delete)
@@ -740,9 +753,16 @@ def run_incremental(
                 continue
             t0 = time.time()
             tb = transcripts.filter(F.col("batch_id") == int(b))
-            if salt_repartition:
+            nb_turns = batch_counts.get(b, 0)
+            salt_b = (
+                salt_repartition if salt_repartition is not None
+                else nb_turns >= 1000
+            )
+            if salt_b:
                 tb = tb.repartition(
-                    partitions, "conv_id", "turn_idx"  # turn_idx = skew salt
+                    partitions if partitions is not None
+                    else _batch_partitions(nb_turns),
+                    "conv_id", "turn_idx",  # turn_idx = skew salt
                 )
             nil_scored, clusters_with_ids, new_entities, triples, rw_add = (
                 run_batch(

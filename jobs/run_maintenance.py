@@ -83,8 +83,9 @@ def main() -> None:
             vacuum_unreferenced,
         )
 
-        spark = get_spark(app_name="lake-maintenance")
         if do_compact:
+            # only compaction needs Spark; vacuum is a pure filesystem pass
+            spark = get_spark(app_name="lake-maintenance")
             report["compact"] = {
                 t: compact_table_manifest(
                     spark, lake.path(t),
@@ -93,6 +94,7 @@ def main() -> None:
                 )
                 for t in tables
             }
+            spark.stop()
         if do_vacuum:
             report["vacuum"] = {
                 t: vacuum_unreferenced(
@@ -100,7 +102,6 @@ def main() -> None:
                 )
                 for t in tables
             }
-        spark.stop()
         print(json.dumps(report))
         return
     if do_vacuum:

@@ -420,6 +420,46 @@ def test_rebuild_threshold_recovers_drift_recall(spark, tmp_path):
         ai.kmeans_centroids = orig
 
 
+def test_tripped_threshold_without_delta_corpus_is_ignored(spark, embs, tmp_path):
+    """A tripped drift threshold with ``delta_corpus=None`` must NOT
+    rebuild: rebuilding wipes the persisted delta rows, and without the
+    delta vectors in hand the caller's backfill could never restore them
+    (permanent recall hole) — and the recorded ``n_delta_at_build=0``
+    would re-trip the threshold on every later run, retraining forever.
+    The scenario is real: a caller whose ``new_entities`` table is
+    unreadable (or that has drained nothing yet) passes None while the
+    index still holds committed delta rows."""
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "guard_idx")
+    model = build_ann_index(embs, path, mode="ivf", n_centroids=12, seed=11)
+    d_ids = np.arange(5000, 5300, dtype=np.int64)  # 300/400 >> 0.25
+    d_X = rng.normal(size=(300, 32)).astype(np.float32)
+    persist_delta(model, spark, assign_delta(model, d_ids, d_X, 0), 0)
+
+    calls = []
+    orig = ai.kmeans_centroids
+    ai.kmeans_centroids = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        m2 = ensure_ann_index(
+            embs, path, mode="ivf", n_centroids=12,
+            rebuild_threshold=0.25, delta_corpus=None,
+        )
+    finally:
+        ai.kmeans_centroids = orig
+    assert calls == []  # reused, NOT retrained
+    np.testing.assert_array_equal(m2.centroids, model.centroids)
+    assert existing_delta_batches(m2) == {0}  # delta rows survived
+    got = ann_index_search(
+        m2, spark,
+        spark.createDataFrame(
+            [(9000, [float(x) for x in d_X[0]])],
+            "vec_id long, embedding array<float>",
+        ),
+        k=5, allowed_batches=[BASE_BATCH, 0],
+    ).toPandas()
+    assert 5000 in set(got["neighbor_id"])  # deltas still searchable
+
+
 def test_empty_delta_commits_marker_only(spark, embs, tmp_path):
     """A zero-entity batch persists a marker (so resume backfill never
     re-scans it) but no partition directory."""

@@ -138,6 +138,134 @@ def test_uncovered_partitions_stay_visible_and_writer_safe(spark, world):
     ) == 3
 
 
+def _write_batch(spark, root, batch_id, lo, hi, n_files):
+    df = spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        F.lit(batch_id).alias("batch_id"),
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.repartition(n_files).write.mode("overwrite").partitionBy(
+        "batch_id"
+    ).parquet(root)
+
+
+def _age(root, part, seconds=7200):
+    import time
+
+    past = time.time() - seconds
+    pdir = os.path.join(root, part)
+    for f in os.listdir(pdir):
+        os.utime(os.path.join(pdir, f), (past, past))
+
+
+def test_recent_partition_not_annexed(spark, world):
+    """A partition skipped by the in-flight window (or absent from the old
+    manifest) must NOT be claimed by the new manifest: the writer will
+    overwrite it with fresh file names, and an annexed keep-set would turn
+    the next vacuum into data loss."""
+    mf.refresh_manifest(world)
+    _age(world, "batch_id=0")
+    _age(world, "batch_id=1")
+    _write_batch(spark, world, 2, 200, 260, 3)  # in-flight, inside window
+    st = mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=1800
+    )
+    assert st["committed"] and st["partitions_compacted"] == 2
+    assert "batch_id=2" not in mf.current_manifest(world)["files"]
+    # the writer re-runs batch 2 (resume) -> fresh file names
+    _write_batch(spark, world, 2, 300, 360, 2)
+    removed = mf.vacuum_unreferenced(world, older_than_seconds=0.0)
+    assert not any("batch_id=2" in r for r in removed)  # writer territory
+    got = _rows(spark, world)
+    assert {r for r in got if r[2] == 2} == {(i, 2 * i, 2) for i in range(300, 360)}
+
+
+def test_governed_rewrite_self_heals(spark, world):
+    """A lineage re-run that rewrites a manifest-GOVERNED partition without
+    refresh_manifest leaves a stale manifest entry.  Reads must fall back
+    to the directory, vacuum must not delete the live rewrite, and the
+    next compaction drops/re-governs the coverage."""
+    mf.refresh_manifest(world)
+    mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0
+    )
+    mf.vacuum_unreferenced(world, older_than_seconds=0.0)
+    _write_batch(spark, world, 1, 500, 580, 2)  # rewrite governed batch 1
+    expect = {(i, 2 * i, 0) for i in range(0, 100)} | {
+        (i, 2 * i, 1) for i in range(500, 580)
+    }
+    assert _rows(spark, world) == expect  # stale entry -> dir fallback
+    removed = mf.vacuum_unreferenced(world, older_than_seconds=0.0)
+    assert not any("batch_id=1" in r for r in removed)  # live files kept
+    st = mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0
+    )
+    assert st["committed"]
+    assert _rows(spark, world) == expect
+    m = mf.current_manifest(world)
+    for f in m["files"].get("batch_id=1", []):
+        assert os.path.exists(os.path.join(world, "batch_id=1", f))
+
+
+def test_preflip_crash_retry_on_uncovered_partition(spark, world):
+    """Pre-flip crash while compacting a partition the old manifest did not
+    cover leaves compact-* orphans in writer territory.  Reads must not
+    double-count them, and the retry must treat only the original files as
+    the source (orphans excluded) and converge."""
+    mf.refresh_manifest(world)  # covers batches 0,1 only
+    _write_batch(spark, world, 2, 200, 260, 3)
+    _age(world, "batch_id=0")
+    _age(world, "batch_id=1")
+    _age(world, "batch_id=2")
+    before = _rows(spark, world)
+    st = mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=1800,
+        _crash_before_flip=True,
+    )
+    assert st["partitions_compacted"] == 3 and not st["committed"]
+    p2 = os.path.join(world, "batch_id=2")
+    assert [f for f in os.listdir(p2) if f.startswith("compact-")]
+    assert _rows(spark, world) == before  # orphans invisible
+    st2 = mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=1800
+    )
+    assert st2["committed"] and st2["partitions_compacted"] == 3
+    assert _rows(spark, world) == before
+    mf.vacuum_unreferenced(world, older_than_seconds=0.0)
+    assert _rows(spark, world) == before
+    live2 = mf.current_manifest(world)["files"]["batch_id=2"]
+    assert sorted(
+        f for f in os.listdir(p2) if f.endswith(".parquet")
+    ) == sorted(live2)
+
+
+def test_lake_read_resolves_manifest(spark, world):
+    """The pipeline's read surface (Lake.read) must resolve through the
+    committed manifest: between a compaction commit and its vacuum, the
+    partition dirs legitimately hold BOTH file generations, and a plain
+    directory read doubles every row."""
+    from incremental_entity_extraction_spark.pipeline import Lake
+
+    lake = Lake(os.path.dirname(world))
+    table = os.path.basename(world)
+    before = {
+        (r["id"], r["v"], r["batch_id"])
+        for r in lake.read(spark, table).collect()
+    }
+    mf.refresh_manifest(world)
+    mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0
+    )
+    # sanity: the hazard is real — a plain dir read now double-counts
+    assert spark.read.parquet(world).count() == 2 * len(before)
+    got = {
+        (r["id"], r["v"], r["batch_id"])
+        for r in lake.read(spark, table).collect()
+    }
+    assert got == before
+
+
 def test_row_count_mismatch_aborts_without_commit(spark, world, monkeypatch):
     mf.refresh_manifest(world)
     m1 = mf.current_manifest(world)
