@@ -267,7 +267,12 @@ def main() -> None:
                         ws.append(w)
                         rep_detail.append(
                             {"cores": cores, "rep": ri,
-                             "wall_s": round(w, 2), "load_gate": gate}
+                             "wall_s": round(w, 2), "load_gate": gate,
+                             # a low-core rep's own steady load is ~cores,
+                             # so an end load well above that means the
+                             # host got busy mid-rep (the gate can only
+                             # see load before the rep starts)
+                             "host_load_end": _loadavg()}
                         )
                     walls[cores] = min(ws)
                 thr = {c: n_turns / w for c, w in walls.items()}
@@ -359,6 +364,13 @@ def main() -> None:
             )
             key = "cc_wall_s" if mode == "cc" else "greedy_wall_s"
             s[key] = round(wall, 3)
+        # the gate can only see load BEFORE the sample; background work
+        # that starts mid-sample (gate passed at 1.98, then a cc wall 4x
+        # the sibling samples') shows up only in the END load.  Record it:
+        # the absolute value includes the bench's own 32-wide burst, but
+        # COMPARING end loads across samples separates "host got busy"
+        # from "this sample was slow on its own" without a re-run.
+        s["host_load_end"] = _loadavg()
         samples.append(s)
 
     def _median(xs: list[float]) -> float:

@@ -1014,8 +1014,10 @@ def run_kg_pipeline(spark, sf_dir):
 
 
 def q28_kg_triples(spark, sf_dir):
-    """Full incremental KG pipeline -> triples (rows-only; dense retrieval
-    + clustering are not SQL-expressible)."""
+    """Full incremental KG pipeline -> triples.  The dense retrieval +
+    clustering are not SQL-expressible, but the triple MATERIALIZATION is:
+    the DuckDB oracle (q28_sql) rebuilds every triple from the persisted
+    mention + cluster tables and must match this output exactly."""
     lake, _ = run_kg_pipeline(spark, sf_dir)
     return spark.read.parquet(lake.path("triples")).select(
         "subj", "pred", "obj", "batch_id"
@@ -2010,6 +2012,36 @@ def q33_sql() -> str:
     """
 
 
+def q28_sql() -> str:
+    """Relational twin of the triple materialization (operators/triples.py):
+    DuckDB REBUILDS every triple from the persisted mention + cluster
+    tables — 'mentions'/'linked_to' from the enriched mention rows,
+    'member_of' by unnesting each cluster's member-id array,
+    'canonical_name' one per cluster row.  Sound across batches because a
+    cluster row is frozen at its creation batch (each batch writes only
+    its own ``batch_id`` partition; later accretion to an existing RW
+    entity goes through 'linked_to', never 'member_of')."""
+    return f"""
+    SELECT conv_id || '#' || turn_idx AS subj, 'mentions' AS pred,
+           mention_id AS obj, CAST(batch_id AS INT) AS batch_id
+    FROM {_kg_lake_sql('mentions')}
+    UNION ALL
+    SELECT mention_id, 'linked_to',
+           CASE WHEN top_indexer = {CFG.ro_indexer_id}
+                THEN 'wiki:' || top_wikipedia_id
+                ELSE 'new:' || top_id END,
+           CAST(batch_id AS INT)
+    FROM {_kg_lake_sql('mentions')} WHERE NOT is_nil
+    UNION ALL
+    SELECT u.mid, 'member_of', 'new:' || pc.index_id,
+           CAST(pc.batch_id AS INT)
+    FROM {_kg_lake_sql('prev_clusters')} pc, UNNEST(pc.mentions_id) AS u(mid)
+    UNION ALL
+    SELECT 'new:' || index_id, 'canonical_name', title, CAST(batch_id AS INT)
+    FROM {_kg_lake_sql('prev_clusters')}
+    """
+
+
 ORACLE_SQL = {
     "q01_filter_project": q01_sql(),
     "q02_group_agg_stats": q02_sql(),
@@ -2038,6 +2070,7 @@ ORACLE_SQL = {
     # kg-lake derivation oracles: DuckDB recomputes the aggregates over the
     # SAME persisted lake tables (through the `current` symlink the Spark
     # side repoints) — see _kg_lake_sql
+    "q28_kg_triples": q28_sql(),
     "q29_kg_triple_summary": q29_sql(),
     "q30_kg_incremental_state": q30_sql(),
     "q31_kg_nil_rate": q31_sql(),
