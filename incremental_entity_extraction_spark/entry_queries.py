@@ -952,15 +952,39 @@ def build_kg_world(spark, sf_dir):
 
 
 def kg_lake_current_path() -> str:
-    """Fixed symlink the q29/q30/q31/q33 DuckDB oracles read the lake
-    through.  The oracle SQL strings are static (built at import, before
-    any sf_dir is known), so they cannot embed a per-sf path — instead
-    ``run_kg_pipeline`` repoints this symlink at the sf_dir's lake before
-    returning, and the harness always executes the Spark query (which
-    builds/repoints) before its oracle."""
+    """PER-PROCESS symlink the q29/q30/q31/q33 DuckDB oracles read the
+    lake through.  The oracle SQL cannot embed the lake's mkdtemp path (the
+    SQL is built before any sf_dir is known), so ``run_kg_pipeline``
+    repoints this symlink at the sf_dir's lake before returning, and the
+    harness always executes the Spark query (which builds/repoints) before
+    its oracle — IN THE SAME PROCESS, the same contract the q37/q46
+    fixture-dir oracles already rely on.  The pid suffix keeps two
+    concurrent runs (e.g. bench.py at sf0.1 beside check_entry at sf0.01)
+    from repointing each other's oracles at the wrong lake mid-compare;
+    the symlink is removed at interpreter exit so a recycled pid can never
+    resolve a dead process's pointer."""
+    import atexit
     import os
 
-    return os.path.join(tempfile.gettempdir(), "iees_kg_lake_current")
+    cur = os.path.join(
+        tempfile.gettempdir(), f"iees_kg_lake_current_{os.getpid()}"
+    )
+    if cur not in _kg_current_registered:
+        _kg_current_registered.add(cur)
+        atexit.register(_remove_symlink_quiet, cur)
+    return cur
+
+
+_kg_current_registered: set = set()
+
+
+def _remove_symlink_quiet(path: str) -> None:
+    import os
+
+    try:
+        os.remove(path)
+    except OSError:
+        pass
 
 
 def _kg_lake_dir(sf_dir: str) -> str:
@@ -971,11 +995,17 @@ def _kg_lake_dir(sf_dir: str) -> str:
     Spark and oracle would agree on the stale content and the parity check
     could never catch it.  mkdtemp also keeps two concurrent processes on
     the same sf_dir from sharing (and corrupting) one lake.  The in-process
-    ``_kg_cache`` still makes repeat queries free within a process."""
+    ``_kg_cache`` still makes repeat queries free within a process.  The
+    dir is removed at interpreter exit (atexit) — a fresh-per-process dir
+    that outlived its process would leak a full lake per run."""
+    import atexit
     import os
+    import shutil
 
     tag = os.path.basename(os.path.abspath(sf_dir)) or "sf"
-    return tempfile.mkdtemp(prefix=f"iees_kg_lake_{tag}_")
+    d = tempfile.mkdtemp(prefix=f"iees_kg_lake_{tag}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _point_kg_current(lake_dir: str) -> None:

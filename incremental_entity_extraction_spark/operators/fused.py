@@ -125,6 +125,7 @@ def detect_encode_retrieve(
     known_words: frozenset | None = None,
     encoder=None,
     shards_bc=None,
+    extra_shards_bc=None,
 ) -> DataFrame:
     """transcripts -> enriched mention rows (encoding + sorted candidates).
 
@@ -140,22 +141,38 @@ def detect_encode_retrieve(
 
     ``shards_bc`` is an already-created ``Broadcast[list[KBShard]]`` reused
     ACROSS calls; ``shards`` is then only the per-call extra (e.g. the RW
-    delta shard), broadcast separately here.  The incremental loop passes
-    the RO KB this way: a per-batch ``sc.broadcast`` of an unchanged
-    multi-MB KB costs a driver-side pickle per batch plus a fresh
-    broadcast id that every reused Python worker must re-load (the
-    worker-side broadcast registry caches by id), which profiling showed
-    to be a first-order slice of the tiny-batch floor."""
+    delta shard), broadcast separately.  The incremental loop passes the
+    RO KB this way: a per-batch ``sc.broadcast`` of an unchanged multi-MB
+    KB costs a driver-side pickle per batch plus a fresh broadcast id that
+    every reused Python worker must re-load (the worker-side broadcast
+    registry caches by id), which profiling showed to be a first-order
+    slice of the tiny-batch floor.
+
+    ``extra_shards_bc`` lets the CALLER own the per-call extra broadcast's
+    lifecycle (``shards`` must then be ``[]``): a loop that let this
+    function broadcast the growing RW shard every batch with nothing ever
+    unpersisting it would leak O(batches × RW-KB bytes) on the driver and
+    in every worker's broadcast registry.  ``run_batch`` creates the RW
+    broadcast, passes it here, and unpersists it once the batch's
+    materialization barrier (the ``nil_scored`` localCheckpoint) has run —
+    after which the fused stage can never re-execute under the lake's
+    existing localCheckpoint recovery contract."""
     spark = transcripts.sparkSession
+    if extra_shards_bc is not None and shards:
+        raise ValueError("pass the per-call extra via EITHER shards or "
+                         "extra_shards_bc, not both")
     bc = spark.sparkContext.broadcast(shards) if shards_bc is None else shards_bc
     # an EMPTY extra list gets no broadcast at all — broadcasting [] per
     # batch would reintroduce the per-batch broadcast-id churn (and a
     # driver-side leak over a long stream) this parameter exists to remove
-    bc_extra = (
-        spark.sparkContext.broadcast(shards)
-        if shards_bc is not None and shards
-        else None
-    )
+    if extra_shards_bc is not None:
+        bc_extra = extra_shards_bc
+    else:
+        bc_extra = (
+            spark.sparkContext.broadcast(shards)
+            if shards_bc is not None and shards
+            else None
+        )
     dim, norm, max_tok = cfg.dim, cfg.vector_norm, cfg.max_context_tokens
     k_cfg = cfg.top_k
     norm2 = float(cfg.vector_norm) ** 2

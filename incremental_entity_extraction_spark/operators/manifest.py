@@ -25,8 +25,10 @@ split:
   precondition) — either way readers see the old file set or the new one,
   never a mix, and the crash window is one metadata-sized operation;
 * files orphaned by superseded manifests are garbage-collected later by
-  ``vacuum_unreferenced`` (pure deletes — object-store-safe) behind the
-  same in-flight retention window the directory-based maintenance uses.
+  ``vacuum_unreferenced`` (pure deletes — object-store-safe) behind a
+  retention window measured from the SUPERSEDE commit (the manifest
+  generation that dropped the file), so a reader that resolved the old
+  manifest just before the flip keeps its files for the full window.
 
 Readers resolve manifest-covered partitions through the file list (with
 ``basePath`` so the partition column still comes from the path) and fall
@@ -301,20 +303,64 @@ def compact_table_manifest(
     return stats
 
 
+def _committed_history(root: str, cur_seq: int) -> list[tuple[int, float, dict]]:
+    """Committed manifest generations (seq <= current), oldest first, as
+    (seq, commit_mtime, files).  Staged-but-never-flipped manifests
+    (seq > current) are NOT history — their files were never readable."""
+    hist: list[tuple[int, float, dict]] = []
+    mdir = _mdir(root)
+    if not os.path.isdir(mdir):
+        return hist
+    for f in os.listdir(mdir):
+        if not f.endswith(".json"):
+            continue
+        full = os.path.join(mdir, f)
+        try:
+            with open(full) as fh:
+                m = json.load(fh)
+            seq = int(m["seq"])
+        except (OSError, ValueError, KeyError):
+            continue
+        if seq <= cur_seq:
+            hist.append((seq, os.path.getmtime(full), m["files"]))
+    hist.sort()
+    return hist
+
+
 def vacuum_unreferenced(
     root: str, older_than_seconds: float = 3600.0
 ) -> list[str]:
     """Garbage-collect data files the CURRENT manifest does not reference —
     the leftovers of superseded manifests and pre-flip crashes.  Pure
-    deletes (object-store-safe, idempotent); the retention window keeps it
-    clear of a compaction that has staged files but not yet flipped, and of
-    partitions the manifest doesn't cover (live writers).  Superseded
-    manifest files older than the window are removed too.  Returns the
-    table-relative paths deleted."""
+    deletes (object-store-safe, idempotent).  The retention window is
+    measured from the moment a file became UNREFERENCED (the commit mtime
+    of the first manifest generation that dropped it), NOT the file's own
+    write mtime: compaction only touches partitions whose files already
+    predate the in-flight window, so an mtime-keyed window would expire the
+    instant the pointer flips and a reader mid-scan on the old manifest
+    would lose its files.  Files no committed generation ever referenced
+    (pre-flip crash stagings) fall back to their own mtime — they were
+    never reader-visible, so the mtime window only has to outlast the
+    staging->flip gap.  Superseded manifest files age the same way (from
+    their successor's commit).  Returns the table-relative paths deleted."""
     m = current_manifest(root)
     if m is None:
         return []  # no committed state to judge references against
     cutoff = time.time() - older_than_seconds
+    cur_seq = int(m["seq"])
+    history = _committed_history(root, cur_seq)
+
+    def _superseded_at(part: str, f: str, own_mtime: float) -> float:
+        # newest committed generation referencing (part, f); the NEXT
+        # generation's commit is the supersede moment
+        last_ref = None
+        for i, (_, _, files) in enumerate(history):
+            if f in files.get(part, ()):
+                last_ref = i
+        if last_ref is None:
+            return own_mtime  # never committed — pre-flip staging orphan
+        return history[last_ref + 1][1]  # successor exists: current drops f
+
     removed: list[str] = []
     for part in _partition_dirs(root):
         if part not in m["files"]:
@@ -329,7 +375,9 @@ def vacuum_unreferenced(
             continue
         for f in _data_files(pdir):
             full = os.path.join(pdir, f)
-            if f not in keep and os.path.getmtime(full) <= cutoff:
+            if f in keep:
+                continue
+            if _superseded_at(part, f, os.path.getmtime(full)) <= cutoff:
                 os.remove(full)
                 removed.append(os.path.join(part, f))
     cur_name = None
@@ -338,14 +386,27 @@ def vacuum_unreferenced(
             cur_name = f.read().strip()
     except OSError:
         pass
+    commit_mtimes = {seq: mt for seq, mt, _ in history}
     if os.path.isdir(_mdir(root)):
         for f in sorted(os.listdir(_mdir(root))):
             full = os.path.join(_mdir(root), f)
-            if (
-                f != cur_name
-                and f.endswith(".json")
-                and os.path.getmtime(full) <= cutoff
-            ):
+            if f == cur_name or not f.endswith(".json"):
+                continue
+            try:
+                with open(full) as fh:
+                    seq = int(json.load(fh)["seq"])
+            except (OSError, ValueError, KeyError):
+                seq = None
+            # a superseded generation ages from its successor's commit; a
+            # staged-never-committed one (seq > current, or unparseable)
+            # from its own mtime
+            successors = (
+                [mt for s, mt in commit_mtimes.items() if s > seq]
+                if seq is not None and seq < cur_seq
+                else []
+            )
+            aged_from = min(successors) if successors else os.path.getmtime(full)
+            if aged_from <= cutoff:
                 os.remove(full)
                 removed.append(os.path.join(_MANIFEST_DIR, f))
     return removed

@@ -256,6 +256,7 @@ def run_batch(
     ``run_incremental`` threads it through the lake's ``new_entities`` table
     so driver memory never accretes); ``rw_pdf`` is the fallback for direct
     callers."""
+    rw_bc = None  # per-batch RW broadcast; unpersisted after the barrier
     if retrieval_mode in ("ivf", "ivf_pq"):
         from incremental_entity_extraction_spark.operators.fused import (
             detect_encode,
@@ -322,9 +323,18 @@ def run_batch(
             [KBShard(rw_pdf.reset_index(drop=True))] if len(rw_pdf) else []
         )
         if ro_shards_bc is not None:
+            # run_batch owns the per-batch RW broadcast so it can be
+            # unpersisted after the nil_scored checkpoint barrier — letting
+            # the fused stage broadcast it internally would leak one
+            # Broadcast of the growing RW KB per batch over a long stream
+            if rw_shards:
+                rw_bc = transcripts_batch.sparkSession.sparkContext.broadcast(
+                    rw_shards
+                )
             enriched = detect_encode_retrieve(
-                transcripts_batch, cfg, rw_shards, known_words=known_words,
+                transcripts_batch, cfg, [], known_words=known_words,
                 encoder=encoder, shards_bc=ro_shards_bc,
+                extra_shards_bc=rw_bc,
             )
         else:
             enriched = detect_encode_retrieve(
@@ -340,6 +350,12 @@ def run_batch(
     nil_scored = nil_scored.observe(
         gate_obs, F.sum(F.col("is_nil").cast("long")).alias("n_nil")
     ).localCheckpoint()
+    if rw_bc is not None:
+        # the eager checkpoint above materialized the fused stage; this
+        # batch's RW broadcast is dead weight from here on (driver pickle +
+        # every worker's broadcast registry) — release it before the next
+        # batch broadcasts the grown shard
+        rw_bc.unpersist()
 
     nil_df = nil_scored.filter(F.col("is_nil")).select(
         "mention_id", "conv_id", "turn_idx", "start_tok", "batch_id",

@@ -284,3 +284,46 @@ def test_row_count_mismatch_aborts_without_commit(spark, world, monkeypatch):
         )
     assert mf.current_manifest(world)["seq"] == m1["seq"]
     assert _rows(spark, world) == before
+
+
+def test_vacuum_retention_runs_from_supersede_commit_not_file_mtime(
+    spark, world
+):
+    """The round-6 review finding: compaction only touches partitions whose
+    files already predate the in-flight window, so keying vacuum retention
+    to file mtime expires the old files the instant the pointer flips — a
+    reader that resolved the old manifest just before the flip would lose
+    them mid-scan.  Retention must run from the SUPERSEDE commit."""
+    import time
+
+    mf.refresh_manifest(world)
+    # age the data files past a 1h window so compaction will take them
+    old = time.time() - 7200
+    for part in ("batch_id=0", "batch_id=1"):
+        pdir = os.path.join(world, part)
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(pdir, f), (old, old))
+    st = mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=3600.0
+    )
+    assert st["committed"] and st["partitions_compacted"] == 2
+    before = _rows(spark, world)
+
+    # superseded SECONDS ago (though written hours ago): the 1h window
+    # must keep both the old data files and the superseded manifest
+    assert mf.vacuum_unreferenced(world, older_than_seconds=3600.0) == []
+    assert _rows(spark, world) == before
+
+    # backdate the supersede commit (the current manifest generation):
+    # the same window now reclaims the old files AND the old manifest
+    mdir = os.path.join(world, "_manifests")
+    with open(os.path.join(world, "_current_manifest")) as fh:
+        cur = fh.read().strip()
+    os.utime(os.path.join(mdir, cur), (old, old))
+    removed = mf.vacuum_unreferenced(world, older_than_seconds=3600.0)
+    assert any(f.endswith(".parquet") for f in removed)
+    assert any(f.startswith("_manifests/") for f in removed)
+    assert _rows(spark, world) == before
+    # idempotent
+    assert mf.vacuum_unreferenced(world, older_than_seconds=3600.0) == []
