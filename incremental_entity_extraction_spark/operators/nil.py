@@ -18,6 +18,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from incremental_entity_extraction_spark.config import PipelineConfig
+from incremental_entity_extraction_spark.functions.expr_cache import (
+    cached_exprs,
+)
 
 
 def nil_score_expr(max_bi, secondiff, cfg: PipelineConfig):
@@ -32,16 +35,9 @@ def nil_score_expr(max_bi, secondiff, cfg: PipelineConfig):
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
 
 
-def predict_nil(candidates_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Adds max_bi, secondiff, nil_score, is_nil and top_* columns.
-
-    ONE ``select`` (expressions inlined — each later column's tree embeds
-    the earlier ones), not a chain of eight ``withColumn`` calls: every
-    ``withColumn`` re-analyzes the whole plan through Py4J, and profiling
-    put that chain at ~0.16 s of PURE driver-side plan construction per
-    batch — a serial floor term that scales with batch count, not data.
-    Catalyst collapses the duplicated subtrees, so the physical plan (and
-    every value) is identical to the chained form."""
+def _nil_select_cols(cfg: PipelineConfig) -> list:
+    """The eight added columns as DataFrame-independent expression
+    templates — built once per (SparkContext, cfg) via ``cached_exprs``."""
     has = F.size("candidates") > 0
     top = F.element_at("candidates", 1)
     second_score = F.when(
@@ -55,8 +51,7 @@ def predict_nil(candidates_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     is_nil = F.when(~has, F.lit(True)).otherwise(
         nil_score < F.lit(cfg.nil_threshold)
     )
-    return candidates_df.select(
-        "*",
+    return [
         max_bi.alias("max_bi"),
         secondiff.alias("secondiff"),
         nil_score.alias("nil_score"),
@@ -65,4 +60,24 @@ def predict_nil(candidates_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.when(has, top["indexer"]).alias("top_indexer"),
         F.when(has, top["wikipedia_id"]).alias("top_wikipedia_id"),
         F.when(has, top["title"]).alias("top_title"),
+    ]
+
+
+def predict_nil(candidates_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Adds max_bi, secondiff, nil_score, is_nil and top_* columns.
+
+    ONE ``select`` (expressions inlined — each later column's tree embeds
+    the earlier ones), not a chain of eight ``withColumn`` calls: every
+    ``withColumn`` re-analyzes the whole plan through Py4J, and profiling
+    put that chain at ~0.16 s of PURE driver-side plan construction per
+    batch — a serial floor term that scales with batch count, not data.
+    Catalyst collapses the duplicated subtrees, so the physical plan (and
+    every value) is identical to the chained form.  The expression LIST is
+    additionally memoized per (SparkContext, cfg): rebuilding the same
+    tree cost ~0.10 s/batch of Py4J round-trips (profile_batch_floor)."""
+    cols = cached_exprs(
+        candidates_df.sparkSession.sparkContext,
+        ("predict_nil", cfg),
+        lambda: _nil_select_cols(cfg),
     )
+    return candidates_df.select("*", *cols)
