@@ -31,11 +31,24 @@ def cached_exprs(sc, key, builder):
     ``builder`` must construct only DataFrame-independent expressions
     (``F.col`` / ``F.lit`` trees); anything bound to a DataFrame — e.g.
     ``F.broadcast(df)`` — must stay outside the cache.
+
+    Cached ``.alias(...)`` columns carry construction-time expression ids
+    that then appear in EVERY plan built from the cache.  Joining two
+    outputs of the same cached-expr operator is safe — Spark's
+    DeduplicateRelations re-aliases conflicting ids and per-side
+    ``df[...]`` references resolve correctly (pinned by
+    test_expr_cache.test_cached_aliases_safe_across_two_frames_joined) —
+    but keep that test green across Spark upgrades before trusting new
+    composition patterns.
     """
+    _MISS = object()
     try:
         per = _by_sc.setdefault(sc, {})
-        if key not in per:
-            per[key] = builder()
-        return per[key]
-    except TypeError:  # unhashable key / non-weakrefable sc
+        hit = per.get(key, _MISS)
+    except TypeError:  # unhashable key / non-weakrefable sc — no cache
         return builder()
+    # builder() runs OUTSIDE the try: a TypeError raised by a buggy
+    # builder must propagate, not silently re-run via the fallback
+    if hit is _MISS:
+        hit = per[key] = builder()
+    return hit

@@ -306,7 +306,10 @@ def compact_table_manifest(
 def _committed_history(root: str, cur_seq: int) -> list[tuple[int, float, dict]]:
     """Committed manifest generations (seq <= current), oldest first, as
     (seq, commit_mtime, files).  Staged-but-never-flipped manifests
-    (seq > current) are NOT history — their files were never readable."""
+    (seq > current) are NOT history — their files were never readable.
+    Malformed entries (missing keys, null seq) and files deleted by a
+    concurrent maintenance pass between listdir and stat are SKIPPED, not
+    fatal — vacuum must never wedge on one bad manifest."""
     hist: list[tuple[int, float, dict]] = []
     mdir = _mdir(root)
     if not os.path.isdir(mdir):
@@ -319,12 +322,35 @@ def _committed_history(root: str, cur_seq: int) -> list[tuple[int, float, dict]]
             with open(full) as fh:
                 m = json.load(fh)
             seq = int(m["seq"])
-        except (OSError, ValueError, KeyError):
+            files = m["files"]
+            mtime = os.path.getmtime(full)
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+        if not isinstance(files, dict):
             continue
         if seq <= cur_seq:
-            hist.append((seq, os.path.getmtime(full), m["files"]))
+            hist.append((seq, mtime, files))
     hist.sort()
     return hist
+
+
+def _supersede_times(
+    history: list[tuple[int, float, dict]],
+) -> dict[tuple[str, str], float]:
+    """ONE pass over committed history -> {(part, file): supersede_mtime}.
+    A file's supersede moment is the commit mtime of the generation AFTER
+    the newest one referencing it; files still referenced by the newest
+    generation in view map to +inf (never ripe — covers a concurrently
+    truncated history where the true current manifest is missing).  Built
+    once per vacuum call: a per-orphan rescan of the history would be
+    O(orphans x generations x files)."""
+    out: dict[tuple[str, str], float] = {}
+    for i, (_, _, files) in enumerate(history):
+        succ = history[i + 1][1] if i + 1 < len(history) else float("inf")
+        for part, names in files.items():
+            for f in names if isinstance(names, (list, tuple)) else ():
+                out[(part, f)] = succ
+    return out
 
 
 def vacuum_unreferenced(
@@ -349,18 +375,7 @@ def vacuum_unreferenced(
     cutoff = time.time() - older_than_seconds
     cur_seq = int(m["seq"])
     history = _committed_history(root, cur_seq)
-
-    def _superseded_at(part: str, f: str, own_mtime: float) -> float:
-        # newest committed generation referencing (part, f); the NEXT
-        # generation's commit is the supersede moment
-        last_ref = None
-        for i, (_, _, files) in enumerate(history):
-            if f in files.get(part, ()):
-                last_ref = i
-        if last_ref is None:
-            return own_mtime  # never committed — pre-flip staging orphan
-        return history[last_ref + 1][1]  # successor exists: current drops f
-
+    superseded_at = _supersede_times(history)
     removed: list[str] = []
     for part in _partition_dirs(root):
         if part not in m["files"]:
@@ -377,7 +392,12 @@ def vacuum_unreferenced(
             full = os.path.join(pdir, f)
             if f in keep:
                 continue
-            if _superseded_at(part, f, os.path.getmtime(full)) <= cutoff:
+            # never committed -> pre-flip staging orphan, ages from its
+            # own mtime (it was never reader-visible)
+            ripe_at = superseded_at.get((part, f))
+            if ripe_at is None:
+                ripe_at = os.path.getmtime(full)
+            if ripe_at <= cutoff:
                 os.remove(full)
                 removed.append(os.path.join(part, f))
     cur_name = None

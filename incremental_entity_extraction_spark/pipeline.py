@@ -341,21 +341,24 @@ def run_batch(
                 transcripts_batch, cfg, list(ro_shards) + rw_shards,
                 known_words=known_words, encoder=encoder,
             )
-    nil_scored = predict_nil(enriched, cfg)
     # two materialization barriers by design (SURVEY.md §3.1): clustering is
     # iterative, and the KB append is the batch boundary.  The NIL count the
     # cc fast-path gate needs rides this checkpoint action as an Observation
     # — no standalone count job per batch.
-    gate_obs = Observation()
-    nil_scored = nil_scored.observe(
-        gate_obs, F.sum(F.col("is_nil").cast("long")).alias("n_nil")
-    ).localCheckpoint()
-    if rw_bc is not None:
-        # the eager checkpoint above materialized the fused stage; this
-        # batch's RW broadcast is dead weight from here on (driver pickle +
-        # every worker's broadcast registry) — release it before the next
-        # batch broadcasts the grown shard
-        rw_bc.unpersist()
+    try:
+        nil_scored = predict_nil(enriched, cfg)
+        gate_obs = Observation()
+        nil_scored = nil_scored.observe(
+            gate_obs, F.sum(F.col("is_nil").cast("long")).alias("n_nil")
+        ).localCheckpoint()
+    finally:
+        if rw_bc is not None:
+            # once the eager checkpoint materialized the fused stage this
+            # batch's RW broadcast is dead weight (driver pickle + every
+            # worker's broadcast registry); the finally keeps a FAILED
+            # batch (e.g. transient executor loss mid-checkpoint) from
+            # stranding one grown-RW-shard broadcast per retry
+            rw_bc.unpersist()
 
     nil_df = nil_scored.filter(F.col("is_nil")).select(
         "mention_id", "conv_id", "turn_idx", "start_tok", "batch_id",

@@ -63,3 +63,32 @@ def test_cached_templates_match_fresh_plan(spark, cfg):
     # second call reuses the same plan shape and values
     again = predict_nil(df, cfg)
     assert sorted(map(tuple, again.collect())) == rows_c
+
+
+def test_cached_aliases_safe_across_two_frames_joined(spark, cfg):
+    """Cached aliased Columns carry construction-time exprIds reused in
+    every plan; joining two outputs of the same cached-expr operator must
+    still resolve per-side (Spark's DeduplicateRelations re-aliases
+    conflicting ids).  Empirically verified safe on Spark 4.1 — this test
+    pins it so an engine upgrade that breaks it is caught here, not in a
+    user's composition."""
+    from incremental_entity_extraction_spark.operators.nil import predict_nil
+
+    schema = (
+        "mention_id string, candidates array<struct<id:long,indexer:int,"
+        "wikipedia_id:long,title:string,score:double,norm_score:double>>"
+    )
+    df1 = spark.createDataFrame(
+        [("m1", [(1, 0, 10, "a", 9.0, 0.9)]), ("m2", [])], schema
+    )
+    df2 = spark.createDataFrame(
+        [("m1", [(2, 0, 11, "b", 5.0, 0.5)]), ("m2", [])], schema
+    )
+    a = predict_nil(df1, cfg)
+    b = predict_nil(df2, cfg)
+    j = a.join(b, "mention_id").select(
+        a["nil_score"].alias("s1"), b["nil_score"].alias("s2")
+    )
+    rows = {r["s1"] != r["s2"] for r in j.collect()}
+    # m1's sides differ (different candidates) -> per-side binding worked
+    assert True in rows
