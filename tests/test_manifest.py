@@ -327,3 +327,55 @@ def test_vacuum_retention_runs_from_supersede_commit_not_file_mtime(
     assert _rows(spark, world) == before
     # idempotent
     assert mf.vacuum_unreferenced(world, older_than_seconds=3600.0) == []
+
+
+def test_supersede_times_property_matches_linear_scan():
+    """_supersede_times (one-pass map) must agree with the obvious
+    per-file linear scan of committed history on arbitrary histories:
+    a file referenced by the newest generation in view maps to +inf,
+    a dropped file maps to the commit mtime of the generation AFTER its
+    newest reference, and unreferenced files are absent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    files_st = st.dictionaries(
+        st.sampled_from(["batch_id=0", "batch_id=1"]),
+        st.lists(
+            st.sampled_from([f"f{i}.parquet" for i in range(6)]),
+            max_size=4,
+            unique=True,
+        ),
+        max_size=2,
+    )
+    hist_st = st.lists(files_st, min_size=1, max_size=5).map(
+        lambda gens: [
+            (seq + 1, 1000.0 + 10.0 * seq, files)
+            for seq, files in enumerate(gens)
+        ]
+    )
+
+    @given(hist_st)
+    @settings(max_examples=200, deadline=None)
+    def check(history):
+        got = mf._supersede_times(history)
+        all_refs = {
+            (part, f)
+            for _, _, files in history
+            for part, names in files.items()
+            for f in names
+        }
+        assert set(got) == all_refs
+        for part, f in all_refs:
+            last = max(
+                i
+                for i, (_, _, files) in enumerate(history)
+                if f in files.get(part, ())
+            )
+            expect = (
+                history[last + 1][1]
+                if last + 1 < len(history)
+                else float("inf")
+            )
+            assert got[(part, f)] == expect
+
+    check()
