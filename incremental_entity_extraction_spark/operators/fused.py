@@ -161,18 +161,20 @@ def detect_encode_retrieve(
     if extra_shards_bc is not None and shards:
         raise ValueError("pass the per-call extra via EITHER shards or "
                          "extra_shards_bc, not both")
+    if shards_bc is not None and shards:
+        # the combination would force an internally created per-call
+        # broadcast nobody could ever unpersist — exactly the
+        # O(batches × KB) leak extra_shards_bc exists to avoid; loop
+        # callers must own the extra's lifecycle themselves
+        raise ValueError(
+            "shards must be [] when shards_bc is set: pass per-call extra "
+            "shards via extra_shards_bc (caller owns its unpersist)"
+        )
     bc = spark.sparkContext.broadcast(shards) if shards_bc is None else shards_bc
     # an EMPTY extra list gets no broadcast at all — broadcasting [] per
     # batch would reintroduce the per-batch broadcast-id churn (and a
     # driver-side leak over a long stream) this parameter exists to remove
-    if extra_shards_bc is not None:
-        bc_extra = extra_shards_bc
-    else:
-        bc_extra = (
-            spark.sparkContext.broadcast(shards)
-            if shards_bc is not None and shards
-            else None
-        )
+    bc_extra = extra_shards_bc
     dim, norm, max_tok = cfg.dim, cfg.vector_norm, cfg.max_context_tokens
     k_cfg = cfg.top_k
     norm2 = float(cfg.vector_norm) ** 2

@@ -107,7 +107,10 @@ def new_entity_rows_pdf(clusters_pdf, cfg: PipelineConfig):
             "id": c["index_id"].astype("int64"),
             "indexer": c["index_indexer"].astype("int32"),
             "wikipedia_id": np.full(len(c), -1, dtype=np.int64),
-            "title": c["title"].astype(str).str.slice(0, cfg.max_title_len),
+            # astype("string") preserves nulls (astype(str) would stringify
+            # NaN/None into "nan"/"None" — a silent parity break with the
+            # Spark twin, whose F.substring propagates null)
+            "title": c["title"].astype("string").str.slice(0, cfg.max_title_len),
             "descr": np.full(len(c), "", dtype=object),
             "type_": np.full(len(c), None, dtype=object),
             "embedding": c["center"],

@@ -10,8 +10,8 @@ split:
 * data files are IMMUTABLE and never renamed or overwritten: a compaction
   writes its output files ALONGSIDE the live ones under fresh unique names
   (on a real object store Spark PUTs them directly; the POSIX simulation
-  stages and hard-moves, invisible to MANIFEST-RESOLVED readers — which is
-  why a table that has a committed manifest MUST be read through
+  stages and hard-links into place, invisible to MANIFEST-RESOLVED readers
+  — which is why a table that has a committed manifest MUST be read through
   ``read_table``/``Lake.read``, both manifest-aware; a plain
   ``spark.read.parquet(dir)`` or a DuckDB directory glob on such a table
   double-reads every compacted-but-not-yet-vacuumed partition.  The
@@ -19,11 +19,19 @@ split:
   ``mkdtemp`` dir no maintenance ever runs on);
 * a table's readable state is a JSON **manifest** (`_manifests/
   manifest-<seq>.json`) mapping partition dir -> exact data-file names;
-* the COMMIT is one small-object write: flipping the ``_current_manifest``
-  pointer file to name the new manifest.  POSIX: write-temp + ``rename``;
-  object store: a single conditional PUT (S3 If-Match / GCS generation
-  precondition) — either way readers see the old file set or the new one,
-  never a mix, and the crash window is one metadata-sized operation;
+* the COMMIT is one small conditional metadata write: flipping the
+  ``_current_manifest`` pointer to name the new manifest — either way
+  readers see the old file set or the new one, never a mix, and the crash
+  window is one metadata-sized operation.  Both metadata writes are
+  CONDITIONAL through ``table_store``: the staged manifest is created
+  put-if-absent (two maintainers that both read seq N collide LOUDLY on
+  ``manifest-<N+1>.json`` instead of last-write-winning), and the pointer
+  flip is a compare-and-swap against the etag this maintainer read at the
+  start (a pointer moved by anyone else fails the commit).  On S3/GCS these
+  are native preconditions; ``PosixStore`` enforces the same semantics with
+  link-based creates and an flock'd CAS.  Either failure raises
+  ``ConcurrentMaintenance`` — the loser's staged files are never
+  reader-visible and age out through ``vacuum_unreferenced``;
 * files orphaned by superseded manifests are garbage-collected later by
   ``vacuum_unreferenced`` (pure deletes — object-store-safe) behind a
   retention window measured from the SUPERSEDE commit (the manifest
@@ -40,9 +48,14 @@ lineage-driven re-run that rewrites a manifest-covered partition must be
 followed by ``refresh_manifest`` (or just re-compaction); the standard
 ``older_than_seconds`` window keeps maintenance clear of live writers.
 
+Every function takes an optional ``store`` (``table_store.PosixStore`` by
+default) — the seam where an s3/gs client with native conditional PUTs
+plugs in without touching protocol logic.
+
 No reference analogue (the reference persists driver-side pickles,
 scripts/eval_kbp.py:654-658); this is the at-scale lake surface round-5's
-review asked to be execution rather than a design note.
+review asked to be execution rather than a design note, with round-6's
+unconditional-write hole closed.
 """
 
 from __future__ import annotations
@@ -52,144 +65,183 @@ import math
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MANIFEST_DIR = "_manifests"
+from incremental_entity_extraction_spark.operators.table_store import (
+    PosixStore,
+    StoreConflict,
+)
+
+_MANIFEST_PREFIX = "_manifests"
 _POINTER = "_current_manifest"
 
 
-def _mdir(root: str) -> str:
-    return os.path.join(root, _MANIFEST_DIR)
+class ConcurrentMaintenance(RuntimeError):
+    """Another maintenance pass staged or committed against this table
+    between this pass's read of the pointer and its commit (or a crashed
+    pass left a staged manifest holding the next sequence number).  The
+    table is untouched by the loser: its staged data files and manifest are
+    never reader-visible and age out via ``vacuum_unreferenced``.  Re-run
+    maintenance after the other pass finishes — or, for a crashed pass,
+    after the retention window lets vacuum clear its staged manifest."""
 
 
-def _pointer_path(root: str) -> str:
-    return os.path.join(root, _POINTER)
+def _store(root: str, store) -> PosixStore:
+    return store if store is not None else PosixStore(root)
 
 
-def _partition_dirs(root: str) -> list[str]:
-    return sorted(
-        e
-        for e in os.listdir(root)
-        if "=" in e
-        and not e.startswith((".", "_"))
-        and os.path.isdir(os.path.join(root, e))
-    )
+def _manifest_key(name: str) -> str:
+    return f"{_MANIFEST_PREFIX}/{name}"
 
 
-def _data_files(pdir: str) -> list[str]:
-    return sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+def _read_pointer(st) -> tuple[str | None, str | None]:
+    """(manifest_name, pointer_etag) — the etag is the CAS token for the
+    commit that will supersede this read."""
+    got = st.get_meta(_POINTER)
+    if got is None:
+        return None, None
+    data, etag = got
+    return data.decode().strip(), etag
 
 
-def current_manifest(root: str) -> dict | None:
-    """The manifest the pointer currently names, or None (no pointer /
-    unreadable — callers fall back to directory listing)."""
+def _load_manifest(st, name: str | None) -> dict | None:
+    if not name:
+        return None
+    got = st.get_meta(_manifest_key(name))
+    if got is None:
+        return None
     try:
-        with open(_pointer_path(root)) as f:
-            name = f.read().strip()
-        with open(os.path.join(_mdir(root), name)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
+        return json.loads(got[0])
+    except ValueError:
         return None
 
 
-def _write_manifest(root: str, files_by_part: dict[str, list[str]]) -> str:
-    """Stage the next manifest file (NOT yet committed — the pointer still
-    names the old one).  Returns the new manifest's filename."""
-    prev = current_manifest(root)
-    seq = int(prev["seq"]) + 1 if prev else 1
+def current_manifest(root: str, store=None) -> dict | None:
+    """The manifest the pointer currently names, or None (no pointer /
+    unreadable — callers fall back to directory listing)."""
+    st = _store(root, store)
+    name, _ = _read_pointer(st)
+    return _load_manifest(st, name)
+
+
+def _write_manifest(st, files_by_part: dict[str, list[str]], seq: int) -> str:
+    """Stage manifest ``seq`` (NOT yet committed — the pointer still names
+    the old one).  put-if-absent: a concurrent or crashed maintainer that
+    already staged this sequence number raises ConcurrentMaintenance
+    instead of being silently overwritten.  Returns the staged name."""
     name = f"manifest-{seq:08d}.json"
-    os.makedirs(_mdir(root), exist_ok=True)
-    tmp = os.path.join(_mdir(root), f".{name}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(
-            {"seq": seq, "created": time.time(), "files": files_by_part}, f
-        )
-    os.replace(tmp, os.path.join(_mdir(root), name))
+    payload = json.dumps(
+        {"seq": seq, "created": time.time(), "files": files_by_part}
+    ).encode()
+    try:
+        st.put_meta_if_absent(_manifest_key(name), payload)
+    except StoreConflict as e:
+        raise ConcurrentMaintenance(
+            f"manifest seq {seq} is already staged or committed "
+            f"({name}): another maintenance pass read the same base "
+            "sequence — see ConcurrentMaintenance"
+        ) from e
     return name
 
 
-def _flip_pointer(root: str, manifest_name: str) -> None:
-    """THE commit: one small-object write.  POSIX: temp + atomic rename;
-    on a real object store this is a single conditional PUT of the pointer
-    object."""
-    tmp = _pointer_path(root) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(manifest_name)
-    os.replace(tmp, _pointer_path(root))
+def _flip_pointer(st, manifest_name: str, expected_etag: str | None) -> None:
+    """THE commit: one conditional metadata write.  CAS against the etag
+    read at the start of this pass (put-if-absent when bootstrapping a
+    pointer-less table) — a pointer moved by any other maintainer fails
+    here, loudly, writing nothing."""
+    data = manifest_name.encode()
+    try:
+        if expected_etag is None:
+            st.put_meta_if_absent(_POINTER, data)
+        else:
+            st.put_meta_if_matches(_POINTER, data, expected_etag)
+    except StoreConflict as e:
+        raise ConcurrentMaintenance(
+            "pointer moved since this maintenance pass began: commit "
+            f"of {manifest_name} abandoned (staged files are invisible "
+            "orphans; vacuum reclaims them)"
+        ) from e
 
 
-def refresh_manifest(root: str) -> str:
+def refresh_manifest(root: str, store=None) -> str:
     """Snapshot the CURRENT directory state into a committed manifest —
     bootstrap for a table that never had one, or resync after a
     lineage-driven partition rewrite."""
-    files = {p: _data_files(os.path.join(root, p)) for p in _partition_dirs(root)}
-    name = _write_manifest(root, files)
-    _flip_pointer(root, name)
+    st = _store(root, store)
+    ptr_name, ptr_etag = _read_pointer(st)
+    prev = _load_manifest(st, ptr_name)
+    seq = int(prev["seq"]) + 1 if prev else 1
+    files = {p: st.list_data_files(p) for p in st.list_partitions()}
+    name = _write_manifest(st, files, seq)
+    _flip_pointer(st, name, ptr_etag)
     return name
 
 
-def read_table(spark: SparkSession, root: str) -> DataFrame:
+def read_table(spark: SparkSession, root: str, store=None) -> DataFrame:
     """Manifest-resolved read: manifest-covered partitions scan EXACTLY the
     committed file list (``basePath`` keeps the partition column coming
     from the path); partitions the manifest does not know about yet fall
     back to their directory listing.  Without a pointer this is a plain
     directory read."""
-    m = current_manifest(root)
+    st = _store(root, store)
+    m = current_manifest(root, store=st)
     if m is None:
         return spark.read.parquet(root)
     paths: list[str] = []
     covered = m["files"]
-    def _live_ungoverned(pdir: str) -> list[str]:
+
+    def _live_ungoverned(part: str) -> list[str]:
         # outside manifest governance, compact-* files can only be orphans
         # of a crashed pre-flip compaction attempt (a committed compaction
         # puts its partition IN the manifest; a writer overwrite empties
         # the dir) — reading them would double rows
         return [
-            os.path.join(pdir, f)
-            for f in _data_files(pdir)
+            st.data_path(part, f)
+            for f in st.list_data_files(part)
             if not f.startswith("compact-")
         ]
 
     for part, files in covered.items():
-        pdir = os.path.join(root, part)
-        if all(os.path.exists(os.path.join(pdir, f)) for f in files):
-            paths.extend(os.path.join(pdir, f) for f in files)
+        if all(st.data_exists(part, f) for f in files):
+            paths.extend(st.data_path(part, f) for f in files)
         else:
             # a writer rewrote this governed partition (lineage re-run,
             # dynamic partition overwrite -> fresh file names) without a
             # refresh_manifest: the manifest entry is stale, the directory
             # is the truth
-            paths.extend(_live_ungoverned(pdir) if os.path.isdir(pdir) else [])
-    for part in _partition_dirs(root):
+            paths.extend(_live_ungoverned(part))
+    for part in st.list_partitions():
         if part not in covered:
-            paths.extend(_live_ungoverned(os.path.join(root, part)))
+            paths.extend(_live_ungoverned(part))
     if not paths:
         return spark.read.parquet(root)
     return spark.read.option("basePath", root).parquet(*paths)
 
 
 def _stage_compacted_files(
-    spark: SparkSession, root: str, part: str, files: list[str], want: int,
+    spark: SparkSession, st, part: str, files: list[str], want: int,
     seq_tag: str,
 ) -> list[str]:
     """Write ``want`` compacted files for one partition ALONGSIDE the live
     ones under fresh unique names; returns the new file names.  Readers
     cannot see them until a manifest referencing them is committed.  The
-    POSIX simulation stages through a hidden dir and hard-moves into place
-    (same-filesystem ``os.rename`` of brand-new names — standing in for an
-    object store's direct PUT; nothing live is touched either way)."""
-    pdir = os.path.join(root, part)
-    src = spark.read.option("basePath", root).parquet(
-        *(os.path.join(pdir, f) for f in files)
+    POSIX simulation stages through a hidden dir and ingests with
+    put-if-absent semantics (``seq_tag`` carries a per-run token, so even a
+    replayed crash attempt never collides with a live name — standing in
+    for an object store's direct PUT; nothing live is touched either way)."""
+    src = spark.read.option("basePath", st.root).parquet(
+        *(st.data_path(part, f) for f in files)
     ).drop(*[p.split("=")[0] for p in part.split("/")])
-    stage = os.path.join(root, f".manifest_stage_{seq_tag}_{part.replace('/', '_')}")
+    stage = st.scratch_dir(f"{seq_tag}_{part.replace('/', '_')}")
     shutil.rmtree(stage, ignore_errors=True)
     src.coalesce(want).write.mode("overwrite").parquet(stage)
     out: list[str] = []
-    for i, f in enumerate(_data_files(stage)):
+    staged = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    for i, f in enumerate(staged):
         name = f"compact-{seq_tag}-{i:05d}.parquet"
-        os.rename(os.path.join(stage, f), os.path.join(pdir, name))
+        st.ingest_data(part, name, os.path.join(stage, f))
         out.append(name)
     shutil.rmtree(stage, ignore_errors=True)
     return out
@@ -200,18 +252,23 @@ def compact_table_manifest(
     root: str,
     target_file_bytes: int = 128 << 20,
     older_than_seconds: float = 3600.0,
+    store=None,
     _crash_before_flip: bool = False,
 ) -> dict:
     """Object-store-safe compaction: write compacted files alongside, stage
     a manifest referencing them, verify row counts, then commit with ONE
-    pointer flip.  A crash anywhere before the flip leaves the table
-    reading the old manifest (new files are invisible orphans); after the
-    flip, the new one (old files are orphans for ``vacuum_unreferenced``).
+    conditional pointer write.  A crash anywhere before the flip leaves the
+    table reading the old manifest (new files are invisible orphans); after
+    the flip, the new one (old files are orphans for
+    ``vacuum_unreferenced``).  A CONCURRENT maintenance pass loses exactly
+    one of the two conditional writes and raises ``ConcurrentMaintenance``
+    — never a silent last-write-win.
 
     ``older_than_seconds`` skips partitions written within the window (the
     in-flight writer guard shared with the directory-based maintenance).
     ``_crash_before_flip`` stops right before the commit — the test hook
     for the pre-flip crash window."""
+    st = _store(root, store)
     stats = {
         "partitions_compacted": 0,
         "files_before": 0,
@@ -220,19 +277,21 @@ def compact_table_manifest(
     }
     if not os.path.isdir(root):
         return stats
-    if current_manifest(root) is None:
-        refresh_manifest(root)
-    m = current_manifest(root)
+    if current_manifest(root, store=st) is None:
+        refresh_manifest(root, store=st)
+    ptr_name, ptr_etag = _read_pointer(st)
+    m = _load_manifest(st, ptr_name)
     cutoff = time.time() - older_than_seconds
-    seq_tag = f"{int(m['seq']) + 1:08d}"
+    next_seq = int(m["seq"]) + 1
+    # the run token keeps a retry's data-file names disjoint from a crashed
+    # attempt's (same seq) — data ingest never collides; the manifest
+    # staging below is the loud concurrency collision point
+    seq_tag = f"{next_seq:08d}-{uuid.uuid4().hex[:8]}"
     new_files: dict[str, list[str]] = {}
     changed = False
-    for part in _partition_dirs(root):
-        pdir = os.path.join(root, part)
+    for part in st.list_partitions():
         governed = part in m["files"]
-        if governed and all(
-            os.path.exists(os.path.join(pdir, f)) for f in m["files"][part]
-        ):
+        if governed and all(st.data_exists(part, f) for f in m["files"][part]):
             files = m["files"][part]
         else:
             if governed:
@@ -247,14 +306,14 @@ def compact_table_manifest(
             # attempt, and including them would both double the staged
             # rows and corrupt the row-count verification
             files = [
-                f for f in _data_files(pdir) if not f.startswith("compact-")
+                f for f in st.list_data_files(part)
+                if not f.startswith("compact-")
             ]
         stats["files_before"] += len(files)
-        total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        total = sum(st.data_size(part, f) for f in files)
         want = max(1, math.ceil(total / target_file_bytes))
         newest = max(
-            (os.path.getmtime(os.path.join(pdir, f)) for f in files),
-            default=float("inf"),
+            (st.data_mtime(part, f) for f in files), default=float("inf")
         )
         if len(files) <= want or newest > cutoff:
             stats["files_after"] += len(files)
@@ -265,27 +324,22 @@ def compact_table_manifest(
             if governed:
                 new_files[part] = files
             continue
-        compacted = _stage_compacted_files(
-            spark, root, part, files, want, seq_tag
-        )
+        compacted = _stage_compacted_files(spark, st, part, files, want, seq_tag)
         n_before = (
-            spark.read.option("basePath", root)
-            .parquet(*(os.path.join(pdir, f) for f in files))
+            spark.read.option("basePath", st.root)
+            .parquet(*(st.data_path(part, f) for f in files))
             .count()
         )
         n_after = (
-            spark.read.option("basePath", root)
-            .parquet(*(os.path.join(pdir, f) for f in compacted))
+            spark.read.option("basePath", st.root)
+            .parquet(*(st.data_path(part, f) for f in compacted))
             .count()
         )
         if n_after != n_before:
             for f in compacted:  # abandon: plain deletes, nothing was live
-                try:
-                    os.remove(os.path.join(pdir, f))
-                except OSError:
-                    pass
+                st.delete_data(part, f)
             raise RuntimeError(
-                f"manifest compaction row-count mismatch in {pdir}: "
+                f"manifest compaction row-count mismatch in {root}/{part}: "
                 f"{n_before} before vs {n_after} after — aborted, old "
                 "manifest still committed"
             )
@@ -295,35 +349,33 @@ def compact_table_manifest(
         changed = True
     if not changed:
         return stats
-    name = _write_manifest(root, new_files)
+    name = _write_manifest(st, new_files, next_seq)
     if _crash_before_flip:
         return stats  # pre-flip crash window: pointer still names the old set
-    _flip_pointer(root, name)
+    _flip_pointer(st, name, ptr_etag)
     stats["committed"] = True
     return stats
 
 
-def _committed_history(root: str, cur_seq: int) -> list[tuple[int, float, dict]]:
+def _committed_history(st, cur_seq: int) -> list[tuple[int, float, dict]]:
     """Committed manifest generations (seq <= current), oldest first, as
     (seq, commit_mtime, files).  Staged-but-never-flipped manifests
     (seq > current) are NOT history — their files were never readable.
-    Malformed entries (missing keys, null seq) and files deleted by a
-    concurrent maintenance pass between listdir and stat are SKIPPED, not
+    Malformed entries (missing keys, null seq) and objects deleted by a
+    concurrent maintenance pass between list and read are SKIPPED, not
     fatal — vacuum must never wedge on one bad manifest."""
     hist: list[tuple[int, float, dict]] = []
-    mdir = _mdir(root)
-    if not os.path.isdir(mdir):
-        return hist
-    for f in os.listdir(mdir):
-        if not f.endswith(".json"):
+    for key in st.list_meta(_MANIFEST_PREFIX):
+        if not key.endswith(".json"):
             continue
-        full = os.path.join(mdir, f)
+        got = st.get_meta(key)
+        if got is None:
+            continue
         try:
-            with open(full) as fh:
-                m = json.load(fh)
+            m = json.loads(got[0])
             seq = int(m["seq"])
             files = m["files"]
-            mtime = os.path.getmtime(full)
+            mtime = st.meta_mtime(key)
         except (OSError, ValueError, KeyError, TypeError):
             continue
         if not isinstance(files, dict):
@@ -354,7 +406,7 @@ def _supersede_times(
 
 
 def vacuum_unreferenced(
-    root: str, older_than_seconds: float = 3600.0
+    root: str, older_than_seconds: float = 3600.0, store=None
 ) -> list[str]:
     """Garbage-collect data files the CURRENT manifest does not reference —
     the leftovers of superseded manifests and pre-flip crashes.  Pure
@@ -367,66 +419,79 @@ def vacuum_unreferenced(
     would lose its files.  Files no committed generation ever referenced
     (pre-flip crash stagings) fall back to their own mtime — they were
     never reader-visible, so the mtime window only has to outlast the
-    staging->flip gap.  Superseded manifest files age the same way (from
-    their successor's commit).  Returns the table-relative paths deleted."""
-    m = current_manifest(root)
+    staging->flip gap.  That same rule sweeps ``compact-*`` orphans out of
+    partitions the current manifest does NOT govern (a pre-flip crash in
+    never-governed territory): per ``read_table``'s invariant those can
+    only be staging orphans, and before round 7 they leaked until some
+    later compaction happened to govern the partition.  Superseded manifest
+    files age the same way (from their successor's commit).  Returns the
+    table-relative paths deleted."""
+    st = _store(root, store)
+    ptr_name, _ = _read_pointer(st)
+    m = _load_manifest(st, ptr_name)
     if m is None:
         return []  # no committed state to judge references against
     cutoff = time.time() - older_than_seconds
     cur_seq = int(m["seq"])
-    history = _committed_history(root, cur_seq)
+    history = _committed_history(st, cur_seq)
     superseded_at = _supersede_times(history)
     removed: list[str] = []
-    for part in _partition_dirs(root):
+    for part in st.list_partitions():
         if part not in m["files"]:
-            continue  # not manifest-governed (new batch) — writer territory
+            # not manifest-governed (new batch) — writer territory, EXCEPT
+            # compact-* names: writers never produce those, so they can
+            # only be pre-flip staging orphans (never reader-visible),
+            # ripe from their own mtime
+            for f in st.list_data_files(part):
+                if f.startswith("compact-") and (
+                    (part, f) not in superseded_at
+                ) and st.data_mtime(part, f) <= cutoff:
+                    st.delete_data(part, f)
+                    removed.append(os.path.join(part, f))
+            continue
         keep = set(m["files"][part])
-        pdir = os.path.join(root, part)
-        if not all(os.path.exists(os.path.join(pdir, f)) for f in keep):
+        if not all(st.data_exists(part, f) for f in keep):
             # a writer rewrote this governed partition since the manifest
             # committed (fresh file names): the keep-set is stale, and
             # deleting by it would remove the only live copies — skip; the
             # next compaction pass drops the stale coverage
             continue
-        for f in _data_files(pdir):
-            full = os.path.join(pdir, f)
+        for f in st.list_data_files(part):
             if f in keep:
                 continue
             # never committed -> pre-flip staging orphan, ages from its
             # own mtime (it was never reader-visible)
             ripe_at = superseded_at.get((part, f))
             if ripe_at is None:
-                ripe_at = os.path.getmtime(full)
+                ripe_at = st.data_mtime(part, f)
             if ripe_at <= cutoff:
-                os.remove(full)
+                st.delete_data(part, f)
                 removed.append(os.path.join(part, f))
-    cur_name = None
-    try:
-        with open(_pointer_path(root)) as f:
-            cur_name = f.read().strip()
-    except OSError:
-        pass
     commit_mtimes = {seq: mt for seq, mt, _ in history}
-    if os.path.isdir(_mdir(root)):
-        for f in sorted(os.listdir(_mdir(root))):
-            full = os.path.join(_mdir(root), f)
-            if f == cur_name or not f.endswith(".json"):
-                continue
-            try:
-                with open(full) as fh:
-                    seq = int(json.load(fh)["seq"])
-            except (OSError, ValueError, KeyError):
-                seq = None
-            # a superseded generation ages from its successor's commit; a
-            # staged-never-committed one (seq > current, or unparseable)
-            # from its own mtime
-            successors = (
-                [mt for s, mt in commit_mtimes.items() if s > seq]
-                if seq is not None and seq < cur_seq
-                else []
-            )
-            aged_from = min(successors) if successors else os.path.getmtime(full)
-            if aged_from <= cutoff:
-                os.remove(full)
-                removed.append(os.path.join(_MANIFEST_DIR, f))
+    cur_key = _manifest_key(ptr_name) if ptr_name else None
+    for key in st.list_meta(_MANIFEST_PREFIX):
+        if key == cur_key or not key.endswith(".json"):
+            continue
+        got = st.get_meta(key)
+        if got is None:
+            continue
+        try:
+            seq = int(json.loads(got[0])["seq"])
+        except (ValueError, KeyError, TypeError):
+            seq = None
+        # a superseded generation ages from its successor's commit; a
+        # staged-never-committed one (seq > current, or unparseable)
+        # from its own mtime
+        successors = (
+            [mt for s, mt in commit_mtimes.items() if s > seq]
+            if seq is not None and seq < cur_seq
+            else []
+        )
+        try:
+            aged_from = min(successors) if successors else st.meta_mtime(key)
+        except OSError:
+            continue
+        if aged_from <= cutoff:
+            st.delete_meta(key)
+            removed.append(key)
     return removed

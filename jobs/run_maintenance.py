@@ -79,29 +79,39 @@ def main() -> None:
     window_s = args.older_than_hours * 3600.0
     if args.manifest:
         from incremental_entity_extraction_spark.operators.manifest import (
+            ConcurrentMaintenance,
             compact_table_manifest,
             vacuum_unreferenced,
         )
 
-        if do_compact:
-            # only compaction needs Spark; vacuum is a pure filesystem pass
-            spark = get_spark(app_name="lake-maintenance")
-            report["compact"] = {
-                t: compact_table_manifest(
-                    spark, lake.path(t),
-                    target_file_bytes=args.target_file_mb << 20,
-                    older_than_seconds=window_s,
-                )
-                for t in tables
-            }
-            spark.stop()
         if do_vacuum:
+            # vacuum FIRST: it clears ripe staged manifests/files left by a
+            # crashed pre-flip pass, which would otherwise make compaction's
+            # put-if-absent staging collide (ConcurrentMaintenance)
             report["vacuum"] = {
                 t: vacuum_unreferenced(
                     lake.path(t), older_than_seconds=window_s
                 )
                 for t in tables
             }
+        if do_compact:
+            # only compaction needs Spark; vacuum is a pure filesystem pass
+            spark = get_spark(app_name="lake-maintenance")
+            compact_report: dict = {}
+            for t in tables:
+                try:
+                    compact_report[t] = compact_table_manifest(
+                        spark, lake.path(t),
+                        target_file_bytes=args.target_file_mb << 20,
+                        older_than_seconds=window_s,
+                    )
+                except ConcurrentMaintenance as e:
+                    # another maintainer (or a recent crashed pass still
+                    # inside the retention window) owns this table's next
+                    # seq — skip it this run, never last-write-win
+                    compact_report[t] = {"skipped_concurrent": str(e)}
+            report["compact"] = compact_report
+            spark.stop()
         print(json.dumps(report))
         return
     if do_vacuum:

@@ -46,3 +46,39 @@ def test_composite_order_cols(spark):
     )
     assert list(zip(out["a"], out["b"])) == sorted(zip(pdf["a"], pdf["b"]))
     assert list(out["id"]) == [0, 1, 2, 3, 4]
+
+
+def test_new_entity_rows_pdf_parity_including_null_title(spark):
+    """new_entity_rows_pdf (the driver-gated collect-free RW delta) must be
+    value-identical to the Spark twin minus batch_id — INCLUDING a null
+    title, which astype(str) would silently stringify to "None" while
+    F.substring propagates null (round-6 advice)."""
+    from incremental_entity_extraction_spark.config import PipelineConfig
+    from incremental_entity_extraction_spark.operators.kb import (
+        new_entity_rows,
+        new_entity_rows_pdf,
+    )
+
+    cfg = PipelineConfig(max_title_len=8)
+    clusters_pdf = pd.DataFrame(
+        {
+            "index_id": pd.array([10, 11, 12], dtype="int64"),
+            "index_indexer": pd.array([2, 2, 2], dtype="int32"),
+            "title": ["short", "a very long title to truncate", None],
+            "center": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]],
+            "batch_id": pd.array([0, 0, 0], dtype="int64"),
+        }
+    )
+    got = new_entity_rows_pdf(clusters_pdf, cfg)
+    spark_rows = (
+        new_entity_rows(spark.createDataFrame(clusters_pdf), cfg)
+        .drop("batch_id")
+        .toPandas()
+    )
+    assert list(got.columns) == list(spark_rows.columns)
+    for col in ("id", "indexer", "wikipedia_id", "descr", "type_"):
+        assert list(got[col]) == list(spark_rows[col])
+    # null stays null on BOTH paths; truncation identical
+    for a, b in zip(got["title"], spark_rows["title"]):
+        assert (pd.isna(a) and b is None) or a == b
+    assert list(got["title"][:2]) == ["short", "a very l"]

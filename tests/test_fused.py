@@ -67,3 +67,24 @@ def test_detect_encode_equals_fused_minus_candidates(spark, spark_world, cfg):
                 assert np.array_equal(np.asarray(a), np.asarray(b))
         else:
             assert list(full[col]) == list(lite[col])
+
+
+def test_shards_bc_rejects_inline_extra_shards(spark_world, cfg):
+    """shards_bc + non-empty shards would force an internal per-call
+    broadcast nobody could unpersist (the O(batches x KB) leak
+    extra_shards_bc exists to avoid) — the API must refuse it loudly."""
+    import pytest
+
+    from incremental_entity_extraction_spark.operators.retrieval import (
+        build_kb_shards,
+    )
+
+    shards = build_kb_shards(spark_world["entities_kb"], 1)
+    bc = spark_world["transcripts"].sparkSession.sparkContext.broadcast(shards)
+    try:
+        with pytest.raises(ValueError, match="shards must be \\[\\]"):
+            detect_encode_retrieve(
+                spark_world["transcripts"].limit(5), cfg, shards, shards_bc=bc
+            )
+    finally:
+        bc.unpersist()

@@ -1,14 +1,23 @@
 """Manifest-pointer table commits (operators/manifest.py): compacted files
-land alongside live ones invisibly, ONE pointer flip is the commit, readers
-resolve through the manifest, and vacuum only touches unreferenced files.
-Covers both crash windows (pre-flip, post-flip) on the posix simulation."""
+land alongside live ones invisibly, ONE conditional pointer write is the
+commit, readers resolve through the manifest, and vacuum only touches
+unreferenced files.  Covers both crash windows (pre-flip, post-flip) AND
+both concurrency collisions (staged-manifest put-if-absent, pointer CAS),
+each over BOTH store implementations — the POSIX table and the in-memory
+fake object store (table_store.py)."""
 
 import os
+import threading
 
 import pytest
 from pyspark.sql import functions as F
 
 from incremental_entity_extraction_spark.operators import manifest as mf
+from incremental_entity_extraction_spark.operators.table_store import (
+    FakeObjectStore,
+    PosixStore,
+    StoreConflict,
+)
 
 
 def _write_world(spark, root):
@@ -25,10 +34,10 @@ def _write_world(spark, root):
         ).parquet(root)
 
 
-def _rows(spark, root):
+def _rows(spark, root, store=None):
     return {
         (r["id"], r["v"], r["batch_id"])
-        for r in mf.read_table(spark, root).collect()
+        for r in mf.read_table(spark, root, store=store).collect()
     }
 
 
@@ -39,34 +48,41 @@ def world(spark, tmp_path):
     return root
 
 
-def test_refresh_and_manifest_read_equals_dir_read(spark, world):
+@pytest.fixture(params=["posix", "fake"])
+def make_store(request):
+    return PosixStore if request.param == "posix" else FakeObjectStore
+
+
+def test_refresh_and_manifest_read_equals_dir_read(spark, world, make_store):
+    st = make_store(world)
     plain = {
         (r["id"], r["v"], r["batch_id"])
         for r in spark.read.parquet(world).collect()
     }
-    assert mf.current_manifest(world) is None
-    mf.refresh_manifest(world)
-    m = mf.current_manifest(world)
+    assert mf.current_manifest(world, store=st) is None
+    mf.refresh_manifest(world, store=st)
+    m = mf.current_manifest(world, store=st)
     assert m is not None and set(m["files"]) == {"batch_id=0", "batch_id=1"}
-    assert _rows(spark, world) == plain
+    assert _rows(spark, world, st) == plain
 
 
-def test_compact_commit_and_both_crash_windows(spark, world):
-    before = _rows(spark, world)
-    mf.refresh_manifest(world)
-    m1 = mf.current_manifest(world)
+def test_compact_commit_and_both_crash_windows(spark, world, make_store):
+    st = make_store(world)
+    before = _rows(spark, world, st)
+    mf.refresh_manifest(world, store=st)
+    m1 = mf.current_manifest(world, store=st)
     n_files_before = sum(len(v) for v in m1["files"].values())
     assert n_files_before >= 8  # 4 files per partition
 
-    # pre-flip crash: compacted files are staged alongside, manifest file
-    # written, pointer NOT flipped -> readers still see the old file set
-    st = mf.compact_table_manifest(
+    # pre-flip crash: compacted files are staged alongside, manifest object
+    # staged, pointer NOT flipped -> readers still see the old file set
+    st1 = mf.compact_table_manifest(
         spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0,
-        _crash_before_flip=True,
+        store=st, _crash_before_flip=True,
     )
-    assert st["partitions_compacted"] == 2 and not st["committed"]
-    assert mf.current_manifest(world)["seq"] == m1["seq"]
-    assert _rows(spark, world) == before
+    assert st1["partitions_compacted"] == 2 and not st1["committed"]
+    assert mf.current_manifest(world, store=st)["seq"] == m1["seq"]
+    assert _rows(spark, world, st) == before
     # the new files really are on disk alongside (invisible orphans)
     orphans = [
         f
@@ -75,24 +91,41 @@ def test_compact_commit_and_both_crash_windows(spark, world):
     ]
     assert orphans
 
+    # a blind retry collides with the crashed attempt's staged manifest
+    # (same next seq) — put-if-absent makes this LOUD, never a silent
+    # overwrite; recovery = vacuum the staged orphan first
+    with pytest.raises(mf.ConcurrentMaintenance):
+        mf.compact_table_manifest(
+            spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0,
+            store=st,
+        )
+    assert mf.current_manifest(world, store=st)["seq"] == m1["seq"]
+    assert _rows(spark, world, st) == before
+    # the staged-never-committed manifest ages from its own mtime: with a
+    # zero window vacuum clears it (and the crashed attempt's data files)
+    removed = mf.vacuum_unreferenced(world, older_than_seconds=0.0, store=st)
+    assert any(r.startswith("_manifests/") for r in removed)
+    assert any(r.endswith(".parquet") for r in removed)
+
     # retry to completion: ONE pointer flip commits the compacted set
     st2 = mf.compact_table_manifest(
         spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0,
+        store=st,
     )
     assert st2["committed"] and st2["partitions_compacted"] == 2
-    m2 = mf.current_manifest(world)
+    m2 = mf.current_manifest(world, store=st)
     assert m2["seq"] > m1["seq"]
     assert sum(len(v) for v in m2["files"].values()) == 2  # 1 file/partition
-    assert _rows(spark, world) == before
+    assert _rows(spark, world, st) == before
 
     # post-flip crash window == committed state with orphaned OLD files:
     # reads already resolve through the new manifest; vacuum reclaims the
     # unreferenced files and the superseded manifest, reads unchanged
-    removed = mf.vacuum_unreferenced(world, older_than_seconds=0.0)
+    removed = mf.vacuum_unreferenced(world, older_than_seconds=0.0, store=st)
     assert removed  # old small files + superseded manifest(s)
-    assert _rows(spark, world) == before
+    assert _rows(spark, world, st) == before
     for part in ("batch_id=0", "batch_id=1"):
-        live = mf.current_manifest(world)["files"][part]
+        live = mf.current_manifest(world, store=st)["files"][part]
         on_disk = [
             f
             for f in os.listdir(os.path.join(world, part))
@@ -102,10 +135,163 @@ def test_compact_commit_and_both_crash_windows(spark, world):
 
     # idempotent: nothing left to compact or vacuum
     st3 = mf.compact_table_manifest(
-        spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0,
+        store=st,
     )
     assert st3["partitions_compacted"] == 0
-    assert mf.vacuum_unreferenced(world, older_than_seconds=0.0) == []
+    assert mf.vacuum_unreferenced(world, older_than_seconds=0.0, store=st) == []
+
+
+def test_concurrent_compactions_exactly_one_commits(spark, world, make_store):
+    """The round-6 verdict hole: two maintenance passes that both read seq N
+    must NOT last-write-win.  The loser hits the staged-manifest
+    put-if-absent and raises ConcurrentMaintenance; the table stays
+    consistent and the loser's staged files are vacuum-able orphans."""
+    st = make_store(world)
+    before = _rows(spark, world, st)
+    mf.refresh_manifest(world, store=st)
+    base_seq = mf.current_manifest(world, store=st)["seq"]
+
+    # maintainer A: full pass, stalls right before its flip (still holds
+    # the staged manifest-<N+1>)
+    a = mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0,
+        store=st, _crash_before_flip=True,
+    )
+    assert a["partitions_compacted"] == 2
+    # maintainer B: starts from the SAME base seq -> loses the
+    # put-if-absent on manifest-<N+1>, loudly
+    with pytest.raises(mf.ConcurrentMaintenance):
+        mf.compact_table_manifest(
+            spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0,
+            store=st,
+        )
+    # nothing committed, reads unchanged, both losers' files invisible
+    assert mf.current_manifest(world, store=st)["seq"] == base_seq
+    assert _rows(spark, world, st) == before
+    # A resumes and flips (its staged manifest references ITS files) —
+    # the table converges to one winner
+    name = f"manifest-{base_seq + 1:08d}.json"
+    _, ptr_etag = mf._read_pointer(st)
+    mf._flip_pointer(st, name, ptr_etag)
+    assert mf.current_manifest(world, store=st)["seq"] == base_seq + 1
+    assert _rows(spark, world, st) == before
+    mf.vacuum_unreferenced(world, older_than_seconds=0.0, store=st)
+    assert _rows(spark, world, st) == before
+
+
+def test_pointer_cas_rejects_stale_commit(spark, world, make_store):
+    """A maintainer whose pointer read went stale (someone else committed in
+    between) must fail its flip instead of clobbering the newer commit."""
+    st = make_store(world)
+    mf.refresh_manifest(world, store=st)
+    stale_name, stale_etag = mf._read_pointer(st)
+    # someone else commits (refresh bumps the seq and moves the pointer)
+    mf.refresh_manifest(world, store=st)
+    cur = mf.current_manifest(world, store=st)
+    with pytest.raises(mf.ConcurrentMaintenance):
+        mf._flip_pointer(st, stale_name, stale_etag)
+    assert mf.current_manifest(world, store=st)["seq"] == cur["seq"]
+
+
+def test_fake_store_cas_race_injection(spark, world):
+    """The fake's before_cas hook lands a racing commit INSIDE the CAS
+    window — after this pass read the pointer, before its conditional
+    write.  The conditional write must lose; the racer's commit survives."""
+    st = FakeObjectStore(world)
+    before = _rows(spark, world, st)
+    mf.refresh_manifest(world, store=st)
+
+    def racer(key):
+        # a refresh would collide at manifest STAGING (this pass already
+        # staged the next seq) — to hit the CAS itself, the racer commits
+        # a distinct generation referencing the original live files
+        st.before_cas = None
+        files = {
+            p: [
+                f for f in st.list_data_files(p)
+                if not f.startswith("compact-")
+            ]
+            for p in st.list_partitions()
+        }
+        name = mf._write_manifest(st, files, 3)
+        _, e = mf._read_pointer(st)
+        mf._flip_pointer(st, name, e)
+
+    st.before_cas = racer
+    with pytest.raises(mf.ConcurrentMaintenance):
+        mf.compact_table_manifest(
+            spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0,
+            store=st,
+        )
+    # the racer's commit is the current state; reads are consistent
+    assert mf.current_manifest(world, store=st) is not None
+    assert _rows(spark, world, st) == before
+    mf.vacuum_unreferenced(world, older_than_seconds=0.0, store=st)
+    assert _rows(spark, world, st) == before
+
+
+def test_threaded_compactions_never_double_commit(spark, world, make_store):
+    """Two genuinely concurrent full passes: legal outcomes are serial
+    success or one loud ConcurrentMaintenance loss — never two commits of
+    the same base seq, never an inconsistent read."""
+    st = make_store(world)
+    before = _rows(spark, world, st)
+    mf.refresh_manifest(world, store=st)
+    base_seq = mf.current_manifest(world, store=st)["seq"]
+    results: list = [None, None]
+
+    def run(i):
+        try:
+            results[i] = mf.compact_table_manifest(
+                spark, world, target_file_bytes=1 << 30,
+                older_than_seconds=0.0, store=st,
+            )
+        except mf.ConcurrentMaintenance as e:
+            results[i] = e
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    commits = [r for r in results if isinstance(r, dict) and r["committed"]]
+    losses = [r for r in results if isinstance(r, mf.ConcurrentMaintenance)]
+    skips = [
+        r for r in results
+        if isinstance(r, dict) and not r["committed"]
+        and r["partitions_compacted"] == 0
+    ]  # a strictly-serial second pass finds 1 file/partition: no-op
+    assert len(commits) + len(losses) + len(skips) == 2 and len(commits) >= 1
+    # every committed generation is distinct (no last-write-win)
+    assert mf.current_manifest(world, store=st)["seq"] > base_seq
+    assert _rows(spark, world, st) == before
+    mf.vacuum_unreferenced(world, older_than_seconds=0.0, store=st)
+    assert _rows(spark, world, st) == before
+
+
+@pytest.mark.parametrize("kind", ["posix", "fake"])
+def test_store_conditional_ops(tmp_path, kind):
+    """The store contract itself: put-if-absent collides on an existing
+    key, CAS succeeds only against the live etag, deletes are idempotent."""
+    st = (PosixStore if kind == "posix" else FakeObjectStore)(str(tmp_path))
+    tag1 = st.put_meta_if_absent("_current_manifest", b"gen-1")
+    with pytest.raises(StoreConflict):
+        st.put_meta_if_absent("_current_manifest", b"gen-1b")
+    data, etag = st.get_meta("_current_manifest")
+    assert data == b"gen-1" and etag == tag1
+    with pytest.raises(StoreConflict):
+        st.put_meta_if_matches("_current_manifest", b"gen-2", "bogus-etag")
+    tag2 = st.put_meta_if_matches("_current_manifest", b"gen-2", tag1)
+    assert st.get_meta("_current_manifest") == (b"gen-2", tag2)
+    with pytest.raises(StoreConflict):  # CAS on a missing key
+        st.put_meta_if_matches("_manifests/nope.json", b"x", tag2)
+    st.put_meta_if_absent("_manifests/manifest-1.json", b"{}")
+    assert st.list_meta("_manifests") == ["_manifests/manifest-1.json"]
+    assert st.meta_mtime("_manifests/manifest-1.json") > 0
+    st.delete_meta("_manifests/manifest-1.json")
+    st.delete_meta("_manifests/manifest-1.json")  # idempotent
+    assert st.list_meta("_manifests") == []
 
 
 def test_uncovered_partitions_stay_visible_and_writer_safe(spark, world):
@@ -211,8 +397,9 @@ def test_governed_rewrite_self_heals(spark, world):
 def test_preflip_crash_retry_on_uncovered_partition(spark, world):
     """Pre-flip crash while compacting a partition the old manifest did not
     cover leaves compact-* orphans in writer territory.  Reads must not
-    double-count them, and the retry must treat only the original files as
-    the source (orphans excluded) and converge."""
+    double-count them, and the retry (after vacuum clears the staged
+    manifest) must treat only the original files as the source (orphans
+    excluded) and converge."""
     mf.refresh_manifest(world)  # covers batches 0,1 only
     _write_batch(spark, world, 2, 200, 260, 3)
     _age(world, "batch_id=0")
@@ -227,6 +414,8 @@ def test_preflip_crash_retry_on_uncovered_partition(spark, world):
     p2 = os.path.join(world, "batch_id=2")
     assert [f for f in os.listdir(p2) if f.startswith("compact-")]
     assert _rows(spark, world) == before  # orphans invisible
+    # clear the crashed attempt's staged manifest (seq conflict otherwise)
+    mf.vacuum_unreferenced(world, older_than_seconds=0.0)
     st2 = mf.compact_table_manifest(
         spark, world, target_file_bytes=1 << 30, older_than_seconds=1800
     )
@@ -238,6 +427,40 @@ def test_preflip_crash_retry_on_uncovered_partition(spark, world):
     assert sorted(
         f for f in os.listdir(p2) if f.endswith(".parquet")
     ) == sorted(live2)
+
+
+def test_vacuum_sweeps_ungoverned_compact_orphans(spark, world):
+    """The round-6 advice leak: a pre-flip crash in a NEVER-governed
+    partition leaves compact-* orphans that no later pass collected unless
+    compaction happened to govern that partition.  Vacuum must reclaim
+    ripe ones (they can only be staging orphans, per read_table's
+    invariant) while leaving the writer's own files and FRESH orphans (a
+    possibly in-flight staging) alone."""
+    import time
+
+    mf.refresh_manifest(world)  # governs batches 0,1
+    _write_batch(spark, world, 2, 200, 260, 2)  # never governed
+    p2 = os.path.join(world, "batch_id=2")
+    old = time.time() - 7200
+    ripe = os.path.join(p2, "compact-00000009-deadbeef-00000.parquet")
+    fresh = os.path.join(p2, "compact-00000009-deadbeef-00001.parquet")
+    for fake in (ripe, fresh):
+        with open(fake, "wb") as f:
+            f.write(b"orphan")
+    os.utime(ripe, (old, old))
+    before = _rows(spark, world)
+    removed = mf.vacuum_unreferenced(world, older_than_seconds=3600.0)
+    assert removed == [os.path.join("batch_id=2", os.path.basename(ripe))]
+    assert not os.path.exists(ripe) and os.path.exists(fresh)
+    # writer files untouched, reads unchanged
+    assert len(
+        [
+            f
+            for f in os.listdir(p2)
+            if f.endswith(".parquet") and not f.startswith("compact-")
+        ]
+    ) == 2
+    assert _rows(spark, world) == before
 
 
 def test_lake_read_resolves_manifest(spark, world):
@@ -271,10 +494,10 @@ def test_row_count_mismatch_aborts_without_commit(spark, world, monkeypatch):
     m1 = mf.current_manifest(world)
     orig = mf._stage_compacted_files
 
-    def bad_stage(spark_, root, part, files, want, seq_tag):
+    def bad_stage(spark_, st_, part, files, want, seq_tag):
         # corrupt: silently compact only a subset of the input files, so
         # the staged output holds fewer rows than the referenced set
-        return orig(spark_, root, part, files[:-1], want, seq_tag)
+        return orig(spark_, st_, part, files[:-1], want, seq_tag)
 
     monkeypatch.setattr(mf, "_stage_compacted_files", bad_stage)
     before = _rows(spark, world)
