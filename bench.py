@@ -15,7 +15,14 @@ LOAD-GATED: the harness waits (bounded; retry trail recorded per sample)
 for the 1-min load to drop under ``SPARK_GRAFT_LOAD_GATE`` (default 2.0)
 before sampling, so a committed artifact is quiet-host by construction —
 rounds 2-5 each re-litigated phantom regressions that per-sample load
-fields later attributed to co-tenant noise.  The ``queries`` dict adds
+fields later attributed to co-tenant noise.  Round 7 closes the other end:
+after each sample the harness waits out its own load decay
+(``SPARK_GRAFT_END_SETTLE_S``) and RE-RUNS samples whose settled load shows
+external contamination (bounded retries, discarded attempts kept).  The
+full result object (per-sample gates, trails, discarded attempts) is
+written to ``bench_artifacts/headline_<tag>.json``; the stdout line carries
+the headline fields plus the artifact path and stays within the driver's
+~2 KB tail capture.  The ``queries`` dict adds
 per-query wall times for the heavier relational / dedup / vector queries;
 queries with a one-time setup cost (ANN index build, CoNLL fixture) report
 steady-state under their own name and the cold first call as ``*_cold``.
@@ -100,6 +107,61 @@ LOAD_GATE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_TIMEOUT", "300")
 LOAD_GATE_BUDGET = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_BUDGET", "900"))
 _LOAD_POLL_S = 10.0
 _gate_spent = 0.0  # cumulative seconds slept across all gates this run
+
+# ---- end-load re-sample (round-7) ----------------------------------------
+# The start gate cannot see load that ARRIVES mid-sample (r6: a sample that
+# gate-passed at 1.98 then read 3-4x walls).  The raw end load cannot
+# discriminate either: the bench's OWN 32-wide burst leaves 1-min loads of
+# ~7 on a perfectly quiet host (r6 artifact, clean sample, end load 7.02).
+# What does discriminate is DECAY: 1-min loadavg decays as e^(-t/60), so
+# self-load of 7 reads <2 after ~90 s, while sustained co-tenant load does
+# not.  After each headline sample the harness sleeps ``END_SETTLE_S`` and
+# re-reads the load; a sample whose settled load still exceeds the gate had
+# external load in its window and is RE-RUN (bounded per-sample and
+# globally, every discarded attempt kept in the artifact) — the committed
+# median is quiet at both ends by construction, not by adjudication.
+END_SETTLE_S = float(os.environ.get("SPARK_GRAFT_END_SETTLE_S", "90"))
+END_RETRIES = int(os.environ.get("SPARK_GRAFT_END_RETRIES", "1"))
+END_RETRIES_GLOBAL = int(os.environ.get("SPARK_GRAFT_END_RETRIES_GLOBAL", "3"))
+
+
+def _settle_end_check() -> dict:
+    """Sleep past the bench's own 1-min-load decay, then re-read: a load
+    still above the gate is external contamination, not self-load."""
+    if END_SETTLE_S <= 0:
+        return {"enabled": False, "quiet": True}
+    time.sleep(END_SETTLE_S)
+    la = _loadavg()
+    cur = la[0] if la else 0.0
+    return {
+        "enabled": True,
+        "slept_s": END_SETTLE_S,
+        "load1": round(cur, 2),
+        "quiet": cur < LOAD_GATE or LOAD_GATE <= 0,
+    }
+
+
+def _write_artifact(obj: dict, kind: str) -> str:
+    """Persist the FULL result object under bench_artifacts/ — the stdout
+    JSON line stays small enough for the driver's tail capture (r6's grew
+    past it and the round artifact lost its headline fields), while the
+    trails/samples/rep-details live here."""
+    d = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_artifacts"
+    )
+    os.makedirs(d, exist_ok=True)
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG") or time.strftime(
+        "%Y%m%dT%H%M%SZ", time.gmtime()
+    )
+    path = os.path.join(d, f"{kind}_{tag}.json")
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=1)
+    latest = os.path.join(d, f"{kind}_latest.json")
+    tmp = f"{latest}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, latest)
+    return path
 
 
 def _await_quiet(tag: str) -> dict:
@@ -287,42 +349,52 @@ def main() -> None:
                     "reps_detail": rep_detail,
                 }
             head = per_mode[modes[0]]
-            print(
-                json.dumps(
-                    {
-                        "metric": "kg_pipeline_scaling_efficiency",
-                        "value": head["efficiency"],
-                        "unit": "efficiency",
-                        "cluster_mode": modes[0],
-                        "throughput_turns_per_sec": head[
-                            "throughput_turns_per_sec"
-                        ],
-                        "wall_s": head["wall_s"],
-                        "modes": per_mode,
-                        "n_turns": n_turns,
-                        "cores": [n_small, n_big],
-                        "host_load": {"start": load0, "end": _loadavg()},
-                        "load_gate": {
-                            "bound": LOAD_GATE,
-                            "timeout_s": LOAD_GATE_TIMEOUT,
-                            "budget_s": LOAD_GATE_BUDGET,
-                            "all_passed": all(
-                                rd["load_gate"]["passed"]
-                                for pm in per_mode.values()
-                                for rd in pm["reps_detail"]
-                            ),
-                        },
-                        "world": {
-                            "n_convs": BENCH_CONVS,
-                            "hot_turns": BENCH_HOT,
-                            "n_entities": BENCH_ENTITIES,
-                            "dim": BENCH_DIM,
-                            "n_batches": BENCH_BATCHES,
-                            "nil_frac": BENCH_NILFRAC,
-                        },
-                    }
-                )
+            result = {
+                "metric": "kg_pipeline_scaling_efficiency",
+                "value": head["efficiency"],
+                "unit": "efficiency",
+                "cluster_mode": modes[0],
+                "throughput_turns_per_sec": head["throughput_turns_per_sec"],
+                "wall_s": head["wall_s"],
+                "efficiency_by_mode": {
+                    m: pm["efficiency"] for m, pm in per_mode.items()
+                },
+                "n_turns": n_turns,
+                "cores": [n_small, n_big],
+                "host_load": {"start": load0, "end": _loadavg()},
+                "load_gate": {
+                    "bound": LOAD_GATE,
+                    "all_passed": all(
+                        rd["load_gate"]["passed"]
+                        for pm in per_mode.values()
+                        for rd in pm["reps_detail"]
+                    ),
+                },
+                "world": {
+                    "n_convs": BENCH_CONVS,
+                    "hot_turns": BENCH_HOT,
+                    "n_entities": BENCH_ENTITIES,
+                    "dim": BENCH_DIM,
+                    "n_batches": BENCH_BATCHES,
+                    "nil_frac": BENCH_NILFRAC,
+                },
+            }
+            # rep details (gate trails, end loads) go to the artifact file;
+            # the stdout line stays within the driver's tail capture
+            full = dict(
+                result,
+                modes=per_mode,
+                load_gate=dict(
+                    result["load_gate"],
+                    timeout_s=LOAD_GATE_TIMEOUT,
+                    budget_s=LOAD_GATE_BUDGET,
+                ),
             )
+            result["artifact"] = os.path.relpath(
+                _write_artifact(full, "scaling"),
+                os.path.dirname(os.path.abspath(__file__)),
+            )
+            print(json.dumps(result))
         finally:
             shutil.rmtree(work_dir, ignore_errors=True)
         return
@@ -345,6 +417,8 @@ def main() -> None:
     # per engine, with the host load at its start — the median is the
     # headline, the per-sample list is the evidence
     samples = []
+    discarded = []
+    retries_global = END_RETRIES_GLOBAL
     n_turns = n_triples = 0
     for i in range(reps):
         # alternate engine order per rep: whichever runs first pays the cold
@@ -352,26 +426,38 @@ def main() -> None:
         # the comparison (r3 ran greedy first, this round's first draft ran
         # cc first — the apparent engine flip between them was this bias)
         order = ("cc", "greedy_replay") if i % 2 else ("greedy_replay", "cc")
-        gate = _await_quiet(f"sample{i}")
-        s = {
-            "host_load_start": _loadavg(),
-            "order": list(order),
-            "load_gate": gate,
-        }
-        for mode in order:
-            wall, n_turns, n_triples = run_documents_pipeline(
-                CPUS, SF_DIR, cluster_mode=mode
-            )
-            key = "cc_wall_s" if mode == "cc" else "greedy_wall_s"
-            s[key] = round(wall, 3)
-        # the gate can only see load BEFORE the sample; background work
-        # that starts mid-sample (gate passed at 1.98, then a cc wall 4x
-        # the sibling samples') shows up only in the END load.  Record it:
-        # the absolute value includes the bench's own 32-wide burst, but
-        # COMPARING end loads across samples separates "host got busy"
-        # from "this sample was slow on its own" without a re-run.
-        s["host_load_end"] = _loadavg()
-        samples.append(s)
+        attempt = 0
+        while True:
+            gate = _await_quiet(f"sample{i}a{attempt}")
+            s = {
+                "host_load_start": _loadavg(),
+                "order": list(order),
+                "attempt": attempt,
+                "load_gate": gate,
+            }
+            for mode in order:
+                wall, n_turns, n_triples = run_documents_pipeline(
+                    CPUS, SF_DIR, cluster_mode=mode
+                )
+                key = "cc_wall_s" if mode == "cc" else "greedy_wall_s"
+                s[key] = round(wall, 3)
+            # the gate can only see load BEFORE the sample; background work
+            # that starts mid-sample shows up only afterward.  Record the
+            # raw end load, then the SETTLED end check (see END_SETTLE_S):
+            # raw end load includes the bench's own burst, the settled read
+            # does not — only the latter triggers a re-sample.
+            s["host_load_end"] = _loadavg()
+            s["end_check"] = _settle_end_check()
+            if (
+                s["end_check"]["quiet"]
+                or attempt >= END_RETRIES
+                or retries_global <= 0
+            ):
+                samples.append(s)
+                break
+            discarded.append(dict(s, resample_reason="end_load"))
+            attempt += 1
+            retries_global -= 1
 
     def _median(xs: list[float]) -> float:
         xs = sorted(xs)
@@ -407,39 +493,57 @@ def main() -> None:
         q_times[name] = wall
     spark.stop()
 
-    print(
-        json.dumps(
-            {
-                "metric": "kg_pipeline_turns_per_sec",
-                # headline = the scale-path engine (cc), median of reps
-                "value": round(n_turns / _median(cc_walls), 2),
-                "unit": "turns/sec",
-                "cluster_mode": "cc",
-                "cc_turns_per_sec": round(n_turns / _median(cc_walls), 2),
-                "cc_turns_per_sec_best": round(n_turns / min(cc_walls), 2),
-                "greedy_turns_per_sec": round(n_turns / _median(g_walls), 2),
-                "greedy_turns_per_sec_best": round(n_turns / min(g_walls), 2),
-                "reps": reps,
-                "samples": samples,
-                "queries": q_times,
-                "sf": sf,
-                "n_turns": n_turns,
-                "n_triples": n_triples,
-                "cores": CPUS,
-                "host_load": {"start": load0, "end": _loadavg()},
-                "load_gate": {
-                    "bound": LOAD_GATE,
-                    "timeout_s": LOAD_GATE_TIMEOUT,
-                    "budget_s": LOAD_GATE_BUDGET,
-                    "all_passed": all(
-                        s["load_gate"]["passed"] for s in samples
-                    )
-                    and q_gate["passed"],
-                    "queries_gate": q_gate,
-                },
-            }
-        )
+    result = {
+        "metric": "kg_pipeline_turns_per_sec",
+        # headline = the scale-path engine (cc), median of reps
+        "value": round(n_turns / _median(cc_walls), 2),
+        "unit": "turns/sec",
+        "cluster_mode": "cc",
+        "cc_turns_per_sec": round(n_turns / _median(cc_walls), 2),
+        "cc_turns_per_sec_best": round(n_turns / min(cc_walls), 2),
+        "greedy_turns_per_sec": round(n_turns / _median(g_walls), 2),
+        "greedy_turns_per_sec_best": round(n_turns / min(g_walls), 2),
+        "reps": reps,
+        "queries": q_times,
+        "sf": sf,
+        "n_turns": n_turns,
+        "n_triples": n_triples,
+        "cores": CPUS,
+        "host_load": {"start": load0, "end": _loadavg()},
+        "load_gate": {
+            "bound": LOAD_GATE,
+            # quiet at the start of every sample (the gate)...
+            "all_passed": all(s["load_gate"]["passed"] for s in samples)
+            and q_gate["passed"],
+            # ...AND at the settled end of every accepted sample: true means
+            # the medians are quiet-host by construction (see END_SETTLE_S)
+            "end_quiet_all": all(
+                s["end_check"]["quiet"] for s in samples
+            ),
+            "resampled": len(discarded),
+        },
+    }
+    # full evidence (per-sample gates with trails, discarded attempts,
+    # query-phase gate) goes to bench_artifacts/; the stdout line must stay
+    # under the driver's tail capture (~2 KB — r6's artifact lost its
+    # headline fields when the inline samples outgrew it)
+    full = dict(
+        result,
+        samples=samples,
+        resampled_attempts=discarded,
+        load_gate=dict(
+            result["load_gate"],
+            timeout_s=LOAD_GATE_TIMEOUT,
+            budget_s=LOAD_GATE_BUDGET,
+            end_settle_s=END_SETTLE_S,
+            queries_gate=q_gate,
+        ),
     )
+    result["artifact"] = os.path.relpath(
+        _write_artifact(full, "headline"),
+        os.path.dirname(os.path.abspath(__file__)),
+    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -987,6 +987,37 @@ def _remove_symlink_quiet(path: str) -> None:
         pass
 
 
+def _oracle_dump_current(kind: str) -> str:
+    """Per-pid symlink a persisted-output DuckDB oracle (q32 media, q51
+    rerank) reads through — same contract as ``kg_lake_current_path``: the
+    oracle SQL embeds this path at module import, the Spark query repoints
+    it before returning, and the harness runs Spark before its oracle in
+    the same process."""
+    import atexit
+    import os
+
+    cur = os.path.join(
+        tempfile.gettempdir(), f"iees_{kind}_current_{os.getpid()}"
+    )
+    if cur not in _kg_current_registered:
+        _kg_current_registered.add(cur)
+        atexit.register(_remove_symlink_quiet, cur)
+    return cur
+
+
+def _point_dump(kind: str, target_dir: str) -> None:
+    import os
+
+    cur = _oracle_dump_current(kind)
+    tmp = f"{cur}.tmp.{os.getpid()}"
+    try:
+        os.remove(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(target_dir, tmp)
+    os.replace(tmp, cur)
+
+
 def _kg_lake_dir(sf_dir: str) -> str:
     """Fresh per-process lake dir (mkdtemp), NOT a deterministic path: a
     deterministic /tmp location + lineage prefix-resume would serve a
@@ -1091,15 +1122,53 @@ def q31_kg_nil_rate(spark, sf_dir):
 
 
 def q32_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> feature extraction (rows-only)."""
+    """Multimodal decode stage, ORACLE-CHECKED on its deterministic half:
+    the media fixture is PERSISTED to parquet (payload = opaque binary
+    column), decoded partition-parallel (mapInPandas), and the per-kind
+    aggregates over the stage's deterministic outputs — byte length,
+    content fingerprint, frame count — must equal DuckDB recomputing them
+    straight from the persisted binary column (q32_sql).  The feature
+    VECTOR is the pluggable-codec half (blake2b stand-in here; codec libs
+    absent from the image) and stays pinned by pytest
+    (test_training_ops)."""
+    import os
+
     from incremental_entity_extraction_spark.operators import multimodal
 
-    media = multimodal.make_media_fixture(spark, n=96)
+    def _build(d):
+        multimodal.make_media_fixture(spark, n=96).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "media"))
+
+    d = _fixture_dir("media_q32", sf_dir, _build)
+    _point_dump("media", d)
+    media = spark.read.parquet(os.path.join(d, "media"))
     feats = multimodal.extract_features(media)
     return feats.groupBy("kind").agg(
-        F.count("*").alias("n"),
-        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.expr("bit_xor(fp)").alias("fp_xor"),
     )
+
+
+def q32_sql() -> str:
+    """DuckDB recomputes the decode stage's deterministic outputs from the
+    persisted binary payload: octet_length for n_bytes, the cross-engine
+    sha256-of-hex fingerprint (multimodal.payload_fingerprint), and the
+    one-frame-per-item contract as COUNT(*)."""
+    cur = _oracle_dump_current("media")
+    return f"""
+    SELECT kind,
+           COUNT(*)::BIGINT AS n,
+           COUNT(*)::BIGINT AS total_frames,
+           SUM(octet_length(payload))::BIGINT AS total_bytes,
+           bit_xor(
+             ('0x' || substr(sha256(lower(hex(payload))), 1, 15))::BIGINT
+           ) AS fp_xor
+    FROM read_parquet('{cur}/media/*.parquet')
+    GROUP BY kind
+    """
 
 
 def q33_kg_cluster_quality(spark, sf_dir):
@@ -1148,6 +1217,100 @@ def q34_rerank_crossencoder(spark, sf_dir):
             "n_top1_agree"
         ),
     )
+
+
+def q51_rerank_order_twin(spark, sf_dir):
+    """M14 rank-order twin, ORACLE-CHECKED: the crossencoder rerank's
+    candidate arrays are persisted FLAT alongside the original bi-encoder
+    order, and the operator's chosen head (position 0 of each reranked
+    array) must equal DuckDB independently re-deriving the winner by
+    ``(cross_score DESC, bi_pos ASC)`` over the persisted scores — the
+    operator's full ordering contract (sort keys, tie-break by original
+    rank, permutation-of-input) end to end through the mapInPandas
+    machinery.  The score FUNCTION itself (joint featurizer re-encode,
+    operators/rerank.py) stays pytest-pinned (test_rerank); no SQL can
+    recompute the joint encoding, which is why q34 remains rows-only."""
+    import os
+
+    from incremental_entity_extraction_spark.operators.fused import (
+        detect_encode_retrieve,
+    )
+    from incremental_entity_extraction_spark.operators.rerank import (
+        rerank_crossencoder,
+    )
+    from incremental_entity_extraction_spark.operators.retrieval import (
+        build_kb_shards,
+    )
+
+    def _build(d):
+        transcripts, kb = build_kg_world(spark, sf_dir)
+        shards = build_kb_shards(kb, 1)
+        enriched = detect_encode_retrieve(
+            transcripts, CFG, shards, known_words=KG_STOPWORDS
+        ).localCheckpoint()
+        reranked = rerank_crossencoder(enriched, CFG)
+        bi = enriched.select(
+            "mention_id", F.posexplode("candidates").alias("bi_pos", "c")
+        ).select(
+            "mention_id", "bi_pos",
+            F.col("c.id").alias("cand_id"),
+            F.col("c.indexer").alias("cand_indexer"),
+        )
+        rr = reranked.select(
+            "mention_id", "batch_id",
+            F.posexplode("candidates").alias("rr_pos", "c"),
+        ).select(
+            "mention_id", "batch_id", "rr_pos",
+            F.col("c.id").alias("cand_id"),
+            F.col("c.indexer").alias("cand_indexer"),
+            F.col("c.cross_score").alias("cross_score"),
+        )
+        bi.write.mode("overwrite").parquet(os.path.join(d, "bi"))
+        rr.write.mode("overwrite").parquet(os.path.join(d, "rr"))
+
+    d = _fixture_dir("rerank_q51", sf_dir, _build)
+    _point_dump("rerank", d)
+    rr = spark.read.parquet(os.path.join(d, "rr"))
+    return (
+        rr.filter(F.col("rr_pos") == 0)
+        .select(
+            "mention_id",
+            F.col("batch_id").cast("int").alias("batch_id"),
+            "cand_id",
+            "cand_indexer",
+        )
+        .orderBy("mention_id")
+    )
+
+
+def q51_sql() -> str:
+    """DuckDB independently re-derives each mention's rerank winner from
+    the persisted flat arrays: join reranked candidates back to their
+    original bi-encoder position (the declared tie-break), rank by
+    (cross_score DESC, bi_pos ASC), keep rank 1."""
+    cur = _oracle_dump_current("rerank")
+    return f"""
+    WITH rr AS (SELECT * FROM read_parquet('{cur}/rr/*.parquet')),
+         bi AS (SELECT * FROM read_parquet('{cur}/bi/*.parquet')),
+         scored AS (
+           SELECT rr.mention_id, rr.batch_id, rr.cand_id, rr.cand_indexer,
+                  rr.cross_score, bi.bi_pos
+           FROM rr
+           JOIN bi USING (mention_id, cand_id, cand_indexer)
+         ),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY mention_id
+             ORDER BY cross_score DESC, bi_pos ASC
+           ) AS rk
+           FROM scored
+         )
+    SELECT mention_id, CAST(batch_id AS INT) AS batch_id,
+           cand_id, cand_indexer
+    FROM ranked
+    WHERE rk = 1
+    ORDER BY mention_id
+    """
 
 
 def q35_sessionize_events(spark, sf_dir):
@@ -1986,6 +2149,7 @@ QUERIES = {
     "q48_dedup_groups_cc_star": q48_dedup_groups_cc_star,
     "q49_ivf_pq_recall": q49_ivf_pq_recall,
     "q50_ann_index": q50_ann_index,
+    "q51_rerank_order_twin": q51_rerank_order_twin,
 }
 
 def _kg_lake_sql(table: str) -> str:
@@ -2119,4 +2283,8 @@ ORACLE_SQL = {
     "q46_jsonl_scan": q46_sql(),
     "q47_dedup_groups_cc": q47_sql(),
     "q48_dedup_groups_cc_star": q47_sql(),  # same semantics, forced star path
+    # persisted-output oracles (per-pid symlink, Spark runs first): q32's
+    # deterministic decode half, q34's rank-order twin
+    "q32_media_features": q32_sql(),
+    "q51_rerank_order_twin": q51_sql(),
 }

@@ -48,8 +48,23 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("features", T.ArrayType(T.FloatType()), False),
         T.StructField("n_frames", T.IntegerType(), False),
+        # deterministic decode metadata a real codec also emits — and the
+        # half of this stage a SQL oracle CAN recompute from the persisted
+        # payload (the feature vector itself is the pluggable-codec half)
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("fp", T.LongType(), False),
     ]
 )
+
+
+def payload_fingerprint(payload: bytes) -> int:
+    """Content fingerprint of a payload, chosen for CROSS-ENGINE
+    recomputability: sha256 over the lowercase-hex rendering of the bytes
+    (DuckDB's sha256 takes VARCHAR only), first 15 hex chars as int64 —
+    DuckDB: ``('0x'||substr(sha256(lower(hex(payload))),1,15))::BIGINT``."""
+    from hashlib import sha256
+
+    return int(sha256(payload.hex().encode()).hexdigest()[:15], 16)
 
 
 def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
@@ -94,16 +109,16 @@ def extract_features(
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decoder(bytes(p), k).tolist()
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            raw = [bytes(p) for p in pdf["payload"]]
+            feats = [decoder(b, k) for b, k in zip(raw, pdf["kind"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "features": feats,
+                    "features": [f.tolist() for f in feats],
                     "n_frames": [1] * len(pdf),
+                    "n_bytes": [len(b) for b in raw],
+                    "fp": [payload_fingerprint(b) for b in raw],
                 }
             )
 

@@ -156,6 +156,13 @@ def test_multimodal_features_and_frames(spark):
     frames = multimodal.sample_frames(media).toPandas()
     assert (frames["frame_idx"] >= 0).all()
     assert set(frames["media_id"]).issubset(set(media.filter("kind='video'").toPandas()["media_id"]))
+    # the deterministic decode half (q32's oracle surface): byte length and
+    # content fingerprint must match a direct driver-side recompute
+    src = media.select("media_id", "payload").toPandas()
+    by_id = {m: bytes(p) for m, p in zip(src["media_id"], src["payload"])}
+    for m, nb, fp in zip(feats["media_id"], feats["n_bytes"], feats["fp"]):
+        assert nb == len(by_id[m])
+        assert fp == multimodal.payload_fingerprint(by_id[m])
 
 
 def test_multimodal_strict_decoder_raises():
