@@ -1178,58 +1178,12 @@ def q33_kg_cluster_quality(spark, sf_dir):
     return pc.groupBy("nelements").agg(F.count("*").alias("n_clusters"))
 
 
-def q34_rerank_crossencoder(spark, sf_dir):
-    """M14 crossencoder-style rerank over the derived world (rows-only):
-    per batch, how often rerank keeps the bi-encoder's top-1."""
-    from incremental_entity_extraction_spark.entry_queries import (
-        KG_STOPWORDS as _KW,
-    )
-    from incremental_entity_extraction_spark.operators.fused import (
-        detect_encode_retrieve,
-    )
-    from incremental_entity_extraction_spark.operators.rerank import (
-        rerank_crossencoder,
-    )
-    from incremental_entity_extraction_spark.operators.retrieval import (
-        build_kb_shards,
-    )
-
-    transcripts, kb = build_kg_world(spark, sf_dir)
-    shards = build_kb_shards(kb, 1)
-    # checkpoint: enriched feeds BOTH join sides — without it the fused
-    # detect/encode/retrieve stage runs twice
-    enriched = detect_encode_retrieve(
-        transcripts, CFG, shards, known_words=_KW
-    ).localCheckpoint()
-    reranked = rerank_crossencoder(enriched, CFG)
-    joined = enriched.select(
-        "mention_id", "batch_id",
-        F.element_at("candidates", 1)["id"].alias("bi_top"),
-    ).join(
-        reranked.select(
-            "mention_id", F.element_at("candidates", 1)["id"].alias("cross_top")
-        ),
-        "mention_id",
-    )
-    return joined.groupBy("batch_id").agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("bi_top") == F.col("cross_top"), 1).otherwise(0)).alias(
-            "n_top1_agree"
-        ),
-    )
-
-
-def q51_rerank_order_twin(spark, sf_dir):
-    """M14 rank-order twin, ORACLE-CHECKED: the crossencoder rerank's
-    candidate arrays are persisted FLAT alongside the original bi-encoder
-    order, and the operator's chosen head (position 0 of each reranked
-    array) must equal DuckDB independently re-deriving the winner by
-    ``(cross_score DESC, bi_pos ASC)`` over the persisted scores — the
-    operator's full ordering contract (sort keys, tie-break by original
-    rank, permutation-of-input) end to end through the mapInPandas
-    machinery.  The score FUNCTION itself (joint featurizer re-encode,
-    operators/rerank.py) stays pytest-pinned (test_rerank); no SQL can
-    recompute the joint encoding, which is why q34 remains rows-only."""
+def _build_rerank_dump(spark, sf_dir, d):
+    """Shared q34/q51 fixture: run the fused stage + crossencoder rerank
+    over the derived world ONCE and persist both candidate orders FLAT —
+    ``bi`` (mention, original bi-encoder position, candidate key) and
+    ``rr`` (mention, reranked position, candidate key, cross_score) — so
+    DuckDB can independently re-derive the rerank winners."""
     import os
 
     from incremental_entity_extraction_spark.operators.fused import (
@@ -1242,34 +1196,134 @@ def q51_rerank_order_twin(spark, sf_dir):
         build_kb_shards,
     )
 
-    def _build(d):
-        transcripts, kb = build_kg_world(spark, sf_dir)
-        shards = build_kb_shards(kb, 1)
-        enriched = detect_encode_retrieve(
-            transcripts, CFG, shards, known_words=KG_STOPWORDS
-        ).localCheckpoint()
-        reranked = rerank_crossencoder(enriched, CFG)
-        bi = enriched.select(
-            "mention_id", F.posexplode("candidates").alias("bi_pos", "c")
-        ).select(
-            "mention_id", "bi_pos",
-            F.col("c.id").alias("cand_id"),
-            F.col("c.indexer").alias("cand_indexer"),
-        )
-        rr = reranked.select(
-            "mention_id", "batch_id",
-            F.posexplode("candidates").alias("rr_pos", "c"),
-        ).select(
-            "mention_id", "batch_id", "rr_pos",
-            F.col("c.id").alias("cand_id"),
-            F.col("c.indexer").alias("cand_indexer"),
-            F.col("c.cross_score").alias("cross_score"),
-        )
-        bi.write.mode("overwrite").parquet(os.path.join(d, "bi"))
-        rr.write.mode("overwrite").parquet(os.path.join(d, "rr"))
+    transcripts, kb = build_kg_world(spark, sf_dir)
+    shards = build_kb_shards(kb, 1)
+    # checkpoint: enriched feeds BOTH persisted frames — without it the
+    # fused detect/encode/retrieve stage runs twice
+    enriched = detect_encode_retrieve(
+        transcripts, CFG, shards, known_words=KG_STOPWORDS
+    ).localCheckpoint()
+    reranked = rerank_crossencoder(enriched, CFG)
+    bi = enriched.select(
+        "mention_id", F.posexplode("candidates").alias("bi_pos", "c")
+    ).select(
+        "mention_id", "bi_pos",
+        F.col("c.id").alias("cand_id"),
+        F.col("c.indexer").alias("cand_indexer"),
+    )
+    rr = reranked.select(
+        "mention_id", "batch_id",
+        F.posexplode("candidates").alias("rr_pos", "c"),
+    ).select(
+        "mention_id", "batch_id", "rr_pos",
+        F.col("c.id").alias("cand_id"),
+        F.col("c.indexer").alias("cand_indexer"),
+        F.col("c.cross_score").alias("cross_score"),
+    )
+    bi.write.mode("overwrite").parquet(os.path.join(d, "bi"))
+    rr.write.mode("overwrite").parquet(os.path.join(d, "rr"))
 
-    d = _fixture_dir("rerank_q51", sf_dir, _build)
+
+def _rerank_dump(spark, sf_dir) -> str:
+    d = _fixture_dir(
+        "rerank_q51", sf_dir, lambda d: _build_rerank_dump(spark, sf_dir, d)
+    )
     _point_dump("rerank", d)
+    return d
+
+
+def q34_rerank_crossencoder(spark, sf_dir):
+    """M14 crossencoder rerank, ORACLE-CHECKED (round 7): per batch, how
+    often the rerank keeps the bi-encoder's top-1.  Both engines read the
+    same persisted flat dump (_build_rerank_dump); Spark takes the
+    operator's chosen head (position 0), DuckDB independently RE-DERIVES
+    each winner by (cross_score DESC, bi_pos ASC) — so a mis-sorted rerank
+    array diverges.  The score function stays pytest-pinned (test_rerank)."""
+    import os
+
+    d = _rerank_dump(spark, sf_dir)
+    rr = spark.read.parquet(os.path.join(d, "rr"))
+    bi = spark.read.parquet(os.path.join(d, "bi"))
+    bi_top = bi.filter(F.col("bi_pos") == 0).select(
+        "mention_id",
+        F.col("cand_id").alias("bi_id"),
+        F.col("cand_indexer").alias("bi_idx"),
+    )
+    rr_top = rr.filter(F.col("rr_pos") == 0).select(
+        "mention_id", "batch_id",
+        F.col("cand_id").alias("cr_id"),
+        F.col("cand_indexer").alias("cr_idx"),
+    )
+    agree = (F.col("bi_id") == F.col("cr_id")) & (
+        F.col("bi_idx") == F.col("cr_idx")
+    )
+    return (
+        rr_top.join(bi_top, "mention_id")
+        .groupBy(F.col("batch_id").cast("int").alias("batch_id"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(agree, 1).otherwise(0)).cast("long").alias(
+                "n_top1_agree"
+            ),
+        )
+    )
+
+
+def q34_sql() -> str:
+    """DuckDB recomputes q34 with the cross winner RE-DERIVED from the
+    persisted scores (not read from position 0): join reranked candidates
+    to their original bi position, rank by (cross_score DESC, bi_pos ASC),
+    take rank 1, compare against the bi head per batch."""
+    cur = _oracle_dump_current("rerank")
+    return f"""
+    WITH rr AS (SELECT * FROM read_parquet('{cur}/rr/*.parquet')),
+         bi AS (SELECT * FROM read_parquet('{cur}/bi/*.parquet')),
+         bi_top AS (
+           SELECT mention_id, cand_id AS bi_id, cand_indexer AS bi_idx
+           FROM bi WHERE bi_pos = 0
+         ),
+         scored AS (
+           SELECT rr.mention_id, rr.batch_id, rr.cand_id, rr.cand_indexer,
+                  rr.cross_score, bi.bi_pos
+           FROM rr
+           JOIN bi USING (mention_id, cand_id, cand_indexer)
+         ),
+         winner AS (
+           SELECT mention_id, batch_id, cand_id, cand_indexer
+           FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY mention_id
+               ORDER BY cross_score DESC, bi_pos ASC
+             ) AS rk
+             FROM scored
+           ) WHERE rk = 1
+         )
+    SELECT CAST(w.batch_id AS INT) AS batch_id,
+           COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN w.cand_id = b.bi_id
+                     AND w.cand_indexer = b.bi_idx
+                    THEN 1 ELSE 0 END)::BIGINT AS n_top1_agree
+    FROM winner w
+    JOIN bi_top b USING (mention_id)
+    GROUP BY w.batch_id
+    """
+
+
+def q51_rerank_order_twin(spark, sf_dir):
+    """M14 rank-order twin, ORACLE-CHECKED: the crossencoder rerank's
+    candidate arrays are persisted FLAT alongside the original bi-encoder
+    order, and the operator's chosen head (position 0 of each reranked
+    array) must equal DuckDB independently re-deriving the winner by
+    ``(cross_score DESC, bi_pos ASC)`` over the persisted scores — the
+    operator's full ordering contract (sort keys, tie-break by original
+    rank, permutation-of-input) end to end through the mapInPandas
+    machinery.  The score FUNCTION itself (joint featurizer re-encode,
+    operators/rerank.py) stays pytest-pinned (test_rerank); no SQL can
+    recompute the joint encoding.  Shares the persisted dump (and the one
+    fused+rerank run) with q34."""
+    import os
+
+    d = _rerank_dump(spark, sf_dir)
     rr = spark.read.parquet(os.path.join(d, "rr"))
     return (
         rr.filter(F.col("rr_pos") == 0)
@@ -2284,7 +2338,10 @@ ORACLE_SQL = {
     "q47_dedup_groups_cc": q47_sql(),
     "q48_dedup_groups_cc_star": q47_sql(),  # same semantics, forced star path
     # persisted-output oracles (per-pid symlink, Spark runs first): q32's
-    # deterministic decode half, q34's rank-order twin
+    # deterministic decode half, the rerank ordering contract twice (q34
+    # per-batch agreement with the winner re-derived from scores, q51
+    # per-mention winners)
     "q32_media_features": q32_sql(),
+    "q34_rerank_crossencoder": q34_sql(),
     "q51_rerank_order_twin": q51_sql(),
 }
