@@ -168,12 +168,28 @@ def _flip_pointer(st, manifest_name: str, expected_etag: str | None) -> None:
 def refresh_manifest(root: str, store=None) -> str:
     """Snapshot the CURRENT directory state into a committed manifest —
     bootstrap for a table that never had one, or resync after a
-    lineage-driven partition rewrite."""
+    lineage-driven partition rewrite.  ``compact-*`` files NOT referenced
+    by the current manifest are excluded from the snapshot: per
+    ``read_table``'s invariant they can only be staging orphans of a
+    crashed pre-flip pass, and annexing them would double every row of
+    that partition in the committed state."""
     st = _store(root, store)
     ptr_name, ptr_etag = _read_pointer(st)
     prev = _load_manifest(st, ptr_name)
     seq = int(prev["seq"]) + 1 if prev else 1
-    files = {p: st.list_data_files(p) for p in st.list_partitions()}
+    referenced = {
+        (part, f)
+        for part, names in (prev["files"] if prev else {}).items()
+        for f in (names if isinstance(names, (list, tuple)) else ())
+    }
+    files = {
+        p: [
+            f
+            for f in st.list_data_files(p)
+            if not f.startswith("compact-") or (p, f) in referenced
+        ]
+        for p in st.list_partitions()
+    }
     name = _write_manifest(st, files, seq)
     _flip_pointer(st, name, ptr_etag)
     return name
@@ -440,12 +456,16 @@ def vacuum_unreferenced(
         if part not in m["files"]:
             # not manifest-governed (new batch) — writer territory, EXCEPT
             # compact-* names: writers never produce those, so they can
-            # only be pre-flip staging orphans (never reader-visible),
-            # ripe from their own mtime
+            # only be staging orphans (never-committed ones ripe from their
+            # own mtime; once-referenced survivors of a coverage drop ripe
+            # from their supersede commit, same as the governed branch)
             for f in st.list_data_files(part):
-                if f.startswith("compact-") and (
-                    (part, f) not in superseded_at
-                ) and st.data_mtime(part, f) <= cutoff:
+                if not f.startswith("compact-"):
+                    continue
+                ripe_at = superseded_at.get((part, f))
+                if ripe_at is None:
+                    ripe_at = st.data_mtime(part, f)
+                if ripe_at <= cutoff:
                     st.delete_data(part, f)
                     removed.append(os.path.join(part, f))
             continue

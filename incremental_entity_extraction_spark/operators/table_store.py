@@ -176,7 +176,12 @@ class PosixStore:
         window for readers or crash recovery to tolerate."""
         path = self._meta_path(key)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.put.{os.getpid()}.{threading.get_ident()}"
+        # dot-prefixed temp: a crash between write and link leaves litter
+        # that is HIDDEN from list_meta/readers instead of a stray object
+        tmp = os.path.join(
+            os.path.dirname(path),
+            f".{os.path.basename(path)}.put.{os.getpid()}.{threading.get_ident()}",
+        )
         with open(tmp, "wb") as f:
             f.write(data)
         try:
@@ -206,7 +211,11 @@ class PosixStore:
                     f"CAS failed on {key}: expected etag {expected_etag}, "
                     f"found {cur[1] if cur else None}"
                 )
-            tmp = f"{path}.cas.{os.getpid()}.{threading.get_ident()}"
+            tmp = os.path.join(
+                os.path.dirname(path),
+                f".{os.path.basename(path)}.cas.{os.getpid()}."
+                f"{threading.get_ident()}",
+            )
             with open(tmp, "wb") as f:
                 f.write(data)
             os.replace(tmp, path)

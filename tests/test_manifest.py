@@ -602,3 +602,31 @@ def test_supersede_times_property_matches_linear_scan():
             assert got[(part, f)] == expect
 
     check()
+
+
+def test_refresh_excludes_unreferenced_compact_orphans(spark, world):
+    """refresh_manifest (bootstrap/resync) must not annex compact-* staging
+    orphans left by a crashed pre-flip pass: annexing would double every
+    row of the partition in the committed state.  Committed compact files
+    (referenced by the current manifest) must survive the resync."""
+    mf.refresh_manifest(world)
+    # commit a real compaction so batch 0/1's live files ARE compact-*
+    mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0
+    )
+    mf.vacuum_unreferenced(world, older_than_seconds=0.0)
+    before = _rows(spark, world)
+    # a crashed pre-flip attempt leaves a staged orphan alongside
+    p0 = os.path.join(world, "batch_id=0")
+    orphan = os.path.join(p0, "compact-00000099-feedface-00000.parquet")
+    live = [f for f in os.listdir(p0) if f.endswith(".parquet")]
+    import shutil as _sh
+
+    _sh.copyfile(os.path.join(p0, live[0]), orphan)
+    # resync: the new manifest must keep the committed compact files and
+    # exclude the orphan — reads unchanged, no double rows
+    mf.refresh_manifest(world)
+    m = mf.current_manifest(world)
+    assert os.path.basename(orphan) not in m["files"]["batch_id=0"]
+    assert set(live) <= set(m["files"]["batch_id=0"])
+    assert _rows(spark, world) == before
