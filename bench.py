@@ -153,14 +153,15 @@ def _write_artifact(obj: dict, kind: str) -> str:
     tag = os.environ.get("SPARK_GRAFT_BENCH_TAG") or time.strftime(
         "%Y%m%dT%H%M%SZ", time.gmtime()
     )
+    # serialize ONCE, write both destinations tmp+replace: a crash mid-write
+    # must never leave a truncated file that looks like a round artifact
+    payload = json.dumps(obj, indent=1)
     path = os.path.join(d, f"{kind}_{tag}.json")
-    with open(path, "w") as f:
-        json.dump(obj, f, indent=1)
-    latest = os.path.join(d, f"{kind}_latest.json")
-    tmp = f"{latest}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1)
-    os.replace(tmp, latest)
+    for dst in (path, os.path.join(d, f"{kind}_latest.json")):
+        tmp = f"{dst}.tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, dst)
     return path
 
 
@@ -516,9 +517,13 @@ def main() -> None:
             "all_passed": all(s["load_gate"]["passed"] for s in samples)
             and q_gate["passed"],
             # ...AND at the settled end of every accepted sample: true means
-            # the medians are quiet-host by construction (see END_SETTLE_S)
-            "end_quiet_all": all(
-                s["end_check"]["quiet"] for s in samples
+            # the medians are quiet-host by construction (see END_SETTLE_S);
+            # null means the settle check was DISABLED (END_SETTLE_S<=0) —
+            # never report an unchecked run as quiet
+            "end_quiet_all": (
+                all(s["end_check"]["quiet"] for s in samples)
+                if END_SETTLE_S > 0
+                else None
             ),
             "resampled": len(discarded),
         },

@@ -963,16 +963,7 @@ def kg_lake_current_path() -> str:
     from repointing each other's oracles at the wrong lake mid-compare;
     the symlink is removed at interpreter exit so a recycled pid can never
     resolve a dead process's pointer."""
-    import atexit
-    import os
-
-    cur = os.path.join(
-        tempfile.gettempdir(), f"iees_kg_lake_current_{os.getpid()}"
-    )
-    if cur not in _kg_current_registered:
-        _kg_current_registered.add(cur)
-        atexit.register(_remove_symlink_quiet, cur)
-    return cur
+    return _oracle_dump_current("kg_lake")
 
 
 _kg_current_registered: set = set()
@@ -988,11 +979,12 @@ def _remove_symlink_quiet(path: str) -> None:
 
 
 def _oracle_dump_current(kind: str) -> str:
-    """Per-pid symlink a persisted-output DuckDB oracle (q32 media, q51
-    rerank) reads through — same contract as ``kg_lake_current_path``: the
-    oracle SQL embeds this path at module import, the Spark query repoints
-    it before returning, and the harness runs Spark before its oracle in
-    the same process."""
+    """Per-pid symlink a persisted-output DuckDB oracle reads through (the
+    kg lake for q29-q33, the media dump for q32, the rerank dump for
+    q34/q51): the oracle SQL embeds this path at module import, the Spark
+    query repoints it before returning, and the harness runs Spark before
+    its oracle in the same process.  Pid-scoped so concurrent runs cannot
+    repoint each other's oracles; removed at interpreter exit."""
     import atexit
     import os
 
@@ -1040,16 +1032,7 @@ def _kg_lake_dir(sf_dir: str) -> str:
 
 
 def _point_kg_current(lake_dir: str) -> None:
-    import os
-
-    cur = kg_lake_current_path()
-    tmp = f"{cur}.tmp.{os.getpid()}"
-    try:
-        os.remove(tmp)
-    except FileNotFoundError:
-        pass
-    os.symlink(lake_dir, tmp)
-    os.replace(tmp, cur)
+    _point_dump("kg_lake", lake_dir)
 
 
 def run_kg_pipeline(spark, sf_dir):

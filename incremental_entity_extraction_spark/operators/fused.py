@@ -140,13 +140,15 @@ def detect_encode_retrieve(
     (config.py docstring).
 
     ``shards_bc`` is an already-created ``Broadcast[list[KBShard]]`` reused
-    ACROSS calls; ``shards`` is then only the per-call extra (e.g. the RW
-    delta shard), broadcast separately.  The incremental loop passes the
-    RO KB this way: a per-batch ``sc.broadcast`` of an unchanged multi-MB
-    KB costs a driver-side pickle per batch plus a fresh broadcast id that
-    every reused Python worker must re-load (the worker-side broadcast
-    registry caches by id), which profiling showed to be a first-order
-    slice of the tiny-batch floor.
+    ACROSS calls; ``shards`` must then be ``[]`` (enforced — any per-call
+    extra goes through ``extra_shards_bc`` below, never an inline list this
+    function would have to broadcast and could never unpersist).  The
+    incremental loop passes the RO KB this way: a per-batch
+    ``sc.broadcast`` of an unchanged multi-MB KB costs a driver-side
+    pickle per batch plus a fresh broadcast id that every reused Python
+    worker must re-load (the worker-side broadcast registry caches by id),
+    which profiling showed to be a first-order slice of the tiny-batch
+    floor.
 
     ``extra_shards_bc`` lets the CALLER own the per-call extra broadcast's
     lifecycle (``shards`` must then be ``[]``): a loop that let this

@@ -453,24 +453,9 @@ def vacuum_unreferenced(
     superseded_at = _supersede_times(history)
     removed: list[str] = []
     for part in st.list_partitions():
-        if part not in m["files"]:
-            # not manifest-governed (new batch) — writer territory, EXCEPT
-            # compact-* names: writers never produce those, so they can
-            # only be staging orphans (never-committed ones ripe from their
-            # own mtime; once-referenced survivors of a coverage drop ripe
-            # from their supersede commit, same as the governed branch)
-            for f in st.list_data_files(part):
-                if not f.startswith("compact-"):
-                    continue
-                ripe_at = superseded_at.get((part, f))
-                if ripe_at is None:
-                    ripe_at = st.data_mtime(part, f)
-                if ripe_at <= cutoff:
-                    st.delete_data(part, f)
-                    removed.append(os.path.join(part, f))
-            continue
-        keep = set(m["files"][part])
-        if not all(st.data_exists(part, f) for f in keep):
+        governed = part in m["files"]
+        keep = set(m["files"][part]) if governed else set()
+        if governed and not all(st.data_exists(part, f) for f in keep):
             # a writer rewrote this governed partition since the manifest
             # committed (fresh file names): the keep-set is stale, and
             # deleting by it would remove the only live copies — skip; the
@@ -479,8 +464,14 @@ def vacuum_unreferenced(
         for f in st.list_data_files(part):
             if f in keep:
                 continue
-            # never committed -> pre-flip staging orphan, ages from its
-            # own mtime (it was never reader-visible)
+            if not governed and not f.startswith("compact-"):
+                continue  # writer territory — only compact-* names can be
+                # orphans there (writers never produce them)
+            # one aging rule for every orphan: a once-referenced file ripes
+            # from its supersede commit; a never-committed staging orphan
+            # (absent from all committed history) from its own mtime — it
+            # was never reader-visible, so the window only has to outlast
+            # the staging->flip gap
             ripe_at = superseded_at.get((part, f))
             if ripe_at is None:
                 ripe_at = st.data_mtime(part, f)

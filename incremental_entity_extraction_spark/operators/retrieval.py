@@ -64,7 +64,12 @@ class KBShard:
         self.ids = pdf["id"].to_numpy(dtype=np.int64)
         self.indexer = pdf["indexer"].to_numpy(dtype=np.int32)
         self.wikipedia_id = pdf["wikipedia_id"].fillna(-1).to_numpy(dtype=np.int64)
-        self.title = pdf["title"].astype(str).to_numpy()
+        # fillna BEFORE astype: a bare astype(str) renders None as "None"
+        # and pd.NA as "<NA>", so the same null title would read differently
+        # between a live driver-gated delta (pd.NA) and a lake-resumed shard
+        # (None) — normalize both to "" (the entity encode tower does the
+        # same, operators/encode.py)
+        self.title = pdf["title"].fillna("").astype(str).to_numpy()
 
 
 def build_kb_shards(kb_df: DataFrame, n_shards: int = 1) -> list[KBShard]:
