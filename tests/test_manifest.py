@@ -630,3 +630,24 @@ def test_refresh_excludes_unreferenced_compact_orphans(spark, world):
     assert os.path.basename(orphan) not in m["files"]["batch_id=0"]
     assert set(live) <= set(m["files"]["batch_id=0"])
     assert _rows(spark, world) == before
+
+
+@pytest.mark.parametrize("kind", ["posix", "fake"])
+def test_ingest_data_put_if_absent(tmp_path, kind):
+    """The data plane is conditional too: ingesting a staged file under a
+    name that already exists (a replayed crash attempt) must raise, never
+    overwrite the live object; the staged source survives the refusal."""
+    st = (PosixStore if kind == "posix" else FakeObjectStore)(str(tmp_path))
+    pdir = tmp_path / "batch_id=0"
+    pdir.mkdir()
+    src1 = tmp_path / ".stage1.parquet"
+    src2 = tmp_path / ".stage2.parquet"
+    src1.write_bytes(b"first")
+    src2.write_bytes(b"second")
+    st.ingest_data("batch_id=0", "compact-x-00000.parquet", str(src1))
+    assert not src1.exists()  # moved in
+    with pytest.raises(StoreConflict):
+        st.ingest_data("batch_id=0", "compact-x-00000.parquet", str(src2))
+    # live object untouched, loser's staging intact for cleanup
+    assert (pdir / "compact-x-00000.parquet").read_bytes() == b"first"
+    assert src2.read_bytes() == b"second"
