@@ -651,3 +651,38 @@ def test_ingest_data_put_if_absent(tmp_path, kind):
     # live object untouched, loser's staging intact for cleanup
     assert (pdir / "compact-x-00000.parquet").read_bytes() == b"first"
     assert src2.read_bytes() == b"second"
+
+
+@pytest.mark.parametrize("kind", ["posix", "fake"])
+def test_cas_serializes_under_thread_contention(tmp_path, kind):
+    """N threads CAS-loop the same key: every successful write must have
+    read the value it replaced (no lost update), and the final value must
+    equal the number of successes — the linearizability property the
+    pointer flip relies on."""
+    st = (PosixStore if kind == "posix" else FakeObjectStore)(str(tmp_path))
+    st.put_meta_if_absent("_current_manifest", b"0")
+    n_threads, per_thread = 8, 10
+    wins = []
+
+    def run(tid):
+        for _ in range(per_thread):
+            while True:
+                data, etag = st.get_meta("_current_manifest")
+                try:
+                    st.put_meta_if_matches(
+                        "_current_manifest",
+                        str(int(data) + 1).encode(),
+                        etag,
+                    )
+                    wins.append(tid)
+                    break
+                except StoreConflict:
+                    continue  # lost the race — re-read and retry
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    data, _ = st.get_meta("_current_manifest")
+    assert int(data) == n_threads * per_thread == len(wins)
