@@ -244,3 +244,43 @@ def test_ann_index_search_plan(spark, embs, tmp_path):
     _assert_clean(plan_cg, allow_single_partition=False,
                   label="ann_index_search_cogroup")
     assert "FlatMapCoGroupsInPandas" in plan_cg
+
+
+def test_manifest_read_partition_prunes(spark, tmp_path):
+    """A manifest-resolved read (explicit file list + basePath) must still
+    PARTITION-PRUNE: at 100 TB the manifest names every live file, and a
+    batch_id filter that scanned all partitions anyway would turn every
+    incremental query into a full-table scan."""
+    from incremental_entity_extraction_spark.operators import manifest as mf
+
+    root = str(tmp_path / "tbl")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for b in (0, 1, 2):
+        spark.range(10).select(
+            F.col("id"), F.lit(b).alias("batch_id")
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(root)
+    mf.refresh_manifest(root)
+    df = mf.read_table(spark, root).filter(F.col("batch_id") == 1)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "batch_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    _assert_clean(plan, allow_single_partition=True, label="manifest read")
+    # (inputFiles() reports the PRE-pruning file index, so the
+    # PartitionFilters assertion above is the right layer to pin)
+    assert df.count() == 10
+
+
+def test_q51_filter_pushes_to_scan(spark):
+    """The rerank-dump head filter (rr_pos = 0) must reach the parquet
+    scan as a pushed filter — the dump is mention×k rows, and reading all
+    positions to keep one is a k-fold overscan at any corpus size."""
+    from incremental_entity_extraction_spark.entry_queries import (
+        q51_rerank_order_twin,
+    )
+
+    df = q51_rerank_order_twin(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters")[1].split("]")[0] if "PushedFilters" in plan else ""
+    assert "rr_pos" in pushed, plan
+    _assert_clean(plan, allow_single_partition=True, label="q51")
