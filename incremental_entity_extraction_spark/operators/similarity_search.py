@@ -236,6 +236,23 @@ def cosine_topk_scan(
     )
 
 
+def _grouped_means(S: np.ndarray, assign: np.ndarray):
+    """Per-group row means of ``S`` grouped by ``assign`` — yields
+    ``(group, mean_row)`` for each non-empty group.
+
+    BIT-IDENTICAL to the masked loop ``S[assign == j].mean(0)`` it replaces
+    (round 8): a stable argsort of ``assign`` keeps equal-key rows in
+    ascending row order, so each group slice is the same array, in the same
+    order, reduced by the same ``.mean(0)`` — but the grouping is
+    O(n log n) instead of the loop's O(k·n) masks per iteration, which
+    dominated training time (k up to 4096 centroids / 256 codewords)."""
+    order = np.argsort(assign, kind="stable")
+    uniq, starts = np.unique(assign[order], return_index=True)
+    bounds = np.append(starts[1:], len(order))
+    for u, s, e in zip(uniq, starts, bounds):
+        yield int(u), S[order[s:e]].mean(0)
+
+
 def kmeans_centroids(
     X: np.ndarray, n_centroids: int, n_iter: int = 10, seed: int = 11
 ) -> np.ndarray:
@@ -247,13 +264,10 @@ def kmeans_centroids(
     C = Xn[np.sort(idx)].copy()
     for _ in range(n_iter):
         assign = np.argmax(Xn @ C.T, axis=1)
-        for j in range(len(C)):
-            members = Xn[assign == j]
-            if len(members):
-                m = members.mean(0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    C[j] = m / n
+        for j, m in _grouped_means(Xn, assign):
+            n = np.linalg.norm(m)
+            if n > 0:
+                C[j] = m / n
     return C
 
 
@@ -510,10 +524,10 @@ def pq_train_codebooks(
         for _ in range(n_iter):
             # argmin ||s - cw||^2 == argmax s·cw - ||cw||^2/2
             assign = np.argmax(S @ cw.T - 0.5 * (cw * cw).sum(1), axis=1)
-            for ji in range(j):
-                members = S[assign == ji]
-                if len(members):
-                    cw[ji] = members.mean(0)
+            # grouped means (bit-identical to the per-codeword masked loop —
+            # see _grouped_means): O(n log n) instead of O(J·n) per iter
+            for ji, m in _grouped_means(S, assign):
+                cw[ji] = m
         books[mi] = cw
     return books
 

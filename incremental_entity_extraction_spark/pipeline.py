@@ -470,6 +470,7 @@ class BatchPersist:
         triples: DataFrame,
         persist_candidates: bool = False,
         rw_pdf_precomputed: pd.DataFrame | None = None,
+        out_parts: int | None = None,
     ) -> "BatchPersist":
         self._obs = Observation()
         mentions_out = nil_scored.drop("encoding", "candidates").observe(
@@ -477,14 +478,28 @@ class BatchPersist:
             F.count(F.lit(1)).alias("n_mentions"),
             F.sum(F.when(F.col("is_nil"), 1).otherwise(0)).alias("n_nil"),
         )
+
+        # ``out_parts`` (round 8, guide §6 small-files): the write-task count
+        # the batch's row volume justifies — run_incremental passes
+        # ~turns/2000, the same per-task sizing _batch_partitions uses for
+        # compute.  Without it a 1 250-turn batch wrote every table through
+        # 16-32 tasks (driver-created frames inherit defaultParallelism), so
+        # a 4-batch sf0.1 lake held 269 parquet files and each write job
+        # paid a multi-task commit.  coalesce NEVER increases partitioning,
+        # so big batches keep their write parallelism unchanged.
+        def _sized(df: DataFrame) -> DataFrame:
+            return df.coalesce(out_parts) if out_parts else df
+
         jobs: list[tuple[DataFrame, str]] = [
-            (mentions_out, "mentions"),
-            (triples, "triples"),
-            (new_entities, "new_entities"),
+            (_sized(mentions_out), "mentions"),
+            (_sized(triples), "triples"),
+            (_sized(new_entities), "new_entities"),
             (
-                clusters_with_ids.select(
-                    "cluster_label", "title", "nelements", "mentions_id",
-                    "mentions", "index_id", "index_indexer", "batch_id",
+                _sized(
+                    clusters_with_ids.select(
+                        "cluster_label", "title", "nelements", "mentions_id",
+                        "mentions", "index_id", "index_indexer", "batch_id",
+                    )
                 ),
                 "prev_clusters",
             ),
@@ -492,7 +507,9 @@ class BatchPersist:
         if persist_candidates:
             jobs.append(
                 (
-                    nil_scored.select("mention_id", "candidates", "batch_id"),
+                    _sized(
+                        nil_scored.select("mention_id", "candidates", "batch_id")
+                    ),
                     "candidates",
                 )
             )
@@ -802,6 +819,10 @@ def run_incremental(
             bp = BatchPersist().start(
                 lake, nil_scored, clusters_with_ids, new_entities, triples,
                 persist_candidates, rw_pdf_precomputed=rw_add,
+                # write-task count sized like the compute (~2000 turns/task,
+                # see BatchPersist.start): tiny batches write one file per
+                # table instead of one per default-parallelism partition
+                out_parts=max(1, nb_turns // 2000),
             )
             # thread RW state forward (small dimension delta)
             add_pdf = bp.rw_delta()
@@ -854,6 +875,8 @@ def run_incremental(
             ro_shards_bc.unpersist()
 
     if stats_rows:
-        metrics_df = spark.createDataFrame(pd.DataFrame(stats_rows))
+        # a handful of driver rows — createDataFrame spreads them over
+        # defaultParallelism partitions; one write task is the right size
+        metrics_df = spark.createDataFrame(pd.DataFrame(stats_rows)).coalesce(1)
         lake.write_partition(metrics_df, "metrics")
     return stats_rows
