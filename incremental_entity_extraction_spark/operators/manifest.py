@@ -168,28 +168,44 @@ def _flip_pointer(st, manifest_name: str, expected_etag: str | None) -> None:
 def refresh_manifest(root: str, store=None) -> str:
     """Snapshot the CURRENT directory state into a committed manifest —
     bootstrap for a table that never had one, or resync after a
-    lineage-driven partition rewrite.  ``compact-*`` files NOT referenced
-    by the current manifest are excluded from the snapshot: per
-    ``read_table``'s invariant they can only be staging orphans of a
-    crashed pre-flip pass, and annexing them would double every row of
-    that partition in the committed state."""
+    lineage-driven partition rewrite.  Resolution mirrors ``read_table``
+    partition by partition, so a refresh commits exactly the state a read
+    would have seen:
+
+    * a GOVERNED partition whose referenced files are all intact keeps the
+      referenced list VERBATIM — any extra non-compact files beside a
+      committed ``compact-*`` generation are the superseded originals of a
+      not-yet-vacuumed compaction (a writer rewrite would have removed the
+      referenced files), and annexing them would double-read every such
+      partition (round-7 advice);
+    * otherwise (ungoverned, or governed-but-rewritten) the directory is
+      the truth, EXCLUDING unreferenced ``compact-*`` files: per
+      ``read_table``'s invariant those can only be staging orphans of a
+      crashed pre-flip pass, and annexing them would double rows too."""
     st = _store(root, store)
     ptr_name, ptr_etag = _read_pointer(st)
     prev = _load_manifest(st, ptr_name)
     seq = int(prev["seq"]) + 1 if prev else 1
+    prev_files = prev["files"] if prev else {}
     referenced = {
         (part, f)
-        for part, names in (prev["files"] if prev else {}).items()
+        for part, names in prev_files.items()
         for f in (names if isinstance(names, (list, tuple)) else ())
     }
-    files = {
-        p: [
-            f
-            for f in st.list_data_files(p)
-            if not f.startswith("compact-") or (p, f) in referenced
-        ]
-        for p in st.list_partitions()
-    }
+    files = {}
+    for p in st.list_partitions():
+        ref = prev_files.get(p)
+        ref_list = list(ref) if isinstance(ref, (list, tuple)) else None
+        if ref_list is not None and all(
+            st.data_exists(p, f) for f in ref_list
+        ):
+            files[p] = ref_list
+        else:
+            files[p] = [
+                f
+                for f in st.list_data_files(p)
+                if not f.startswith("compact-") or (p, f) in referenced
+            ]
     name = _write_manifest(st, files, seq)
     _flip_pointer(st, name, ptr_etag)
     return name

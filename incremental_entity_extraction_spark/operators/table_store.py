@@ -230,8 +230,11 @@ class FakeObjectStore(PosixStore):
     content, etags, and mtimes live ONLY in the dict — a file on disk under
     ``_manifests/`` would be invisible — and every conditional failure is
     decided under one lock.  ``before_cas`` (if set) runs inside
-    put_meta_if_matches after the lock is taken but BEFORE the compare,
-    letting tests inject a racing commit at the worst possible moment."""
+    put_meta_if_matches after this pass's pointer read but before the
+    conditional write, OUTSIDE the lock — deliberately: the hook typically
+    re-enters store operations to inject the racing commit, which would
+    deadlock on the non-reentrant lock; the compare itself is still decided
+    atomically under the lock."""
 
     def __init__(self, root: str):
         super().__init__(root)

@@ -44,7 +44,19 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Round 8: warm the Python worker pool AT SESSION CREATION, not just
+    # where a caller remembers to (warm_python_workers docstring: a real
+    # cluster pays the per-worker import storm once at executor startup, so
+    # it is not a per-operator cost) — previously only the pipeline bench
+    # legs warmed, and the first Python-stage query of any other session
+    # paid the 32-worker storm inside its own wall.  Idempotent per
+    # SparkContext (application-id guard), so repeat get_spark calls and
+    # the bench's explicit warm_python_workers cost one no-op check.
+    warm_python_workers(spark)
     return spark
+
+
+_WARMED_APPS: set = set()
 
 
 def warm_python_workers(spark: SparkSession, waves: int = 2) -> None:
@@ -55,10 +67,15 @@ def warm_python_workers(spark: SparkSession, waves: int = 2) -> None:
     importing simultaneously contend on CPU — ~20s at 32 workers vs ~3s
     steady-state for the same job).  A real cluster pays this once at
     executor startup, so benchmarks exclude it by running one trivial
-    Arrow-UDF wave per worker first.
+    Arrow-UDF wave per worker first.  One warm per SparkContext: repeat
+    calls (e.g. get_spark already warmed this session) return immediately.
     """
     import pandas as pd  # noqa: F401
 
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARMED_APPS:
+        return
+    _WARMED_APPS.add(app_id)
     cores = spark.sparkContext.defaultParallelism
     df = spark.range(cores * waves).repartition(cores * waves)
 

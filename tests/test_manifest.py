@@ -632,6 +632,36 @@ def test_refresh_excludes_unreferenced_compact_orphans(spark, world):
     assert _rows(spark, world) == before
 
 
+def test_refresh_between_compaction_and_vacuum_no_double_read(
+    spark, world, make_store
+):
+    """Round-7 advice: refresh_manifest called in the window BETWEEN a
+    committed compaction and its vacuum — the partition dir legitimately
+    holds BOTH the superseded originals and the committed compact-* files —
+    must snapshot the referenced set only.  Annexing the superseded
+    originals alongside would commit a manifest that double-reads every
+    such partition, and nothing self-heals that state (all files exist, so
+    read_table trusts the manifest)."""
+    st = make_store(world)
+    before = _rows(spark, world, st)
+    mf.refresh_manifest(world, store=st)
+    mf.compact_table_manifest(
+        spark, world, target_file_bytes=1 << 30, older_than_seconds=0.0,
+        store=st,
+    )
+    committed = mf.current_manifest(world, store=st)["files"]
+    # NO vacuum yet: superseded originals still on disk beside compact-*
+    mf.refresh_manifest(world, store=st)
+    m = mf.current_manifest(world, store=st)
+    assert m["files"] == committed, "refresh must keep the referenced set"
+    assert _rows(spark, world, st) == before, "rows must not double"
+    # vacuum still reclaims the superseded originals afterwards
+    assert mf.vacuum_unreferenced(
+        world, older_than_seconds=0.0, store=st
+    ) != []
+    assert _rows(spark, world, st) == before
+
+
 @pytest.mark.parametrize("kind", ["posix", "fake"])
 def test_ingest_data_put_if_absent(tmp_path, kind):
     """The data plane is conditional too: ingesting a staged file under a
