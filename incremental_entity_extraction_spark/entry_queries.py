@@ -14,6 +14,7 @@ LSH bucketing, incremental state evolution, media decoding.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -46,13 +47,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # through untouched.  With key columns the repartition is hash-keyed so a
 # following groupBy on the same key reuses the exchange (guide §2.4).
 _SPREAD_MAX_BYTES = int(
-    __import__("os").environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES", str(256 << 20))
+    os.environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES", str(256 << 20))
 )
 
 
 def _spread(df: DataFrame, sf_dir: str, name: str, *key_cols: str) -> DataFrame:
-    import os
-
     try:
         sz = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
     except OSError:
