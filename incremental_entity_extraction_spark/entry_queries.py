@@ -322,10 +322,17 @@ def q08_sql():
 
 
 def q09_explode_wordcount(spark, sf_dir):
-    """R4/A5: explode tokens -> frequency table."""
+    """R4/A5: explode tokens -> frequency table.
+
+    Round 8: empty tokens are dropped by a ROW filter after the explode
+    instead of the array-HOF lambda before it — identical rows (split
+    always yields >= 1 element, so explode+filter removes exactly what the
+    HOF filter removed; verified equal), but the generated code drops the
+    lambda machinery (warm 0.45 -> 0.31 s at sf0.1)."""
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"))
+        .filter(F.length("tok") > 0)
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 10)
